@@ -1,0 +1,27 @@
+"""Test config: run JAX on CPU with 8 virtual devices so sharding tests
+exercise a multi-chip mesh without TPU hardware (SURVEY.md §4 plan)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_csv(tmp_path_factory):
+    from protoasnet_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(root), num_videos=18, seed=7)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from protoasnet_tpu.data.dataset import get_as_dataloader
+from protoasnet_tpu.data.manifest import Manifest
+from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
+
+
+def _data_config(csv, frames=8, img=32, batch=4, augment=True, sampler="AS"):
+    return {
+        "data_info_file": csv,
+        "view": "all",
+        "sample_size": None,
+        "sampler": sampler,
+        "augmentation": augment,
+        "transform_rotate_degrees": 10,
+        "transform_min_crop_ratio": 0.7,
+        "transform_time_dilation": 0.2,
+        "normalize": True,
+        "img_size": img,
+        "frames": frames,
+        "batch_size": batch,
+        "iterate_intervals": True,
+        "interval_unit": "cycle",
+        "interval_quant": 1.0,
+    }
+
+
+def test_manifest_filtering(synthetic_csv):
+    m_all = Manifest.from_csv(synthetic_csv, view="all", split="all")
+    m_train = Manifest.from_csv(synthetic_csv, view="all", split="train")
+    m_plax = Manifest.from_csv(synthetic_csv, view="plax", split="all")
+    assert len(m_train) < len(m_all)
+    assert len(m_plax) < len(m_all)
+    assert (m_plax.df["view"] == "plax").all()
+    w = m_all.class_sample_weights()
+    assert w.shape == (len(m_all),)
+    assert (w > 0).all()
+
+
+def test_train_loader_shapes_and_stats(synthetic_csv):
+    cfg = _data_config(synthetic_csv)
+    loader = get_as_dataloader(cfg, split="train", mode="train", seed=0)
+    batch = next(iter(loader))
+    cine = np.asarray(batch["cine"])
+    assert cine.shape == (4, 8, 32, 32, 3)
+    assert cine.dtype == np.float32
+    # channels identical (gray -> 3ch)
+    assert np.allclose(cine[..., 0], cine[..., 2])
+    # normalized: un-normalized values must lie in [0, 1]
+    un = cine * NORM_STD + NORM_MEAN
+    assert un.min() > -1e-3 and un.max() < 1.0 + 1e-3
+    assert batch["target_AS"].shape == (4,)
+    assert len(batch["filename"]) == 4
+
+
+def test_eval_loader_iterates_intervals(synthetic_csv):
+    cfg = _data_config(synthetic_csv, batch=5)
+    loader = get_as_dataloader(cfg, split="val", mode="val", seed=0)
+    m = Manifest.from_csv(synthetic_csv, view="all", split="val")
+    n_expected = len(m.intervals)
+    seen = 0
+    for batch in loader:
+        seen += int(batch["valid"].sum())
+        # deterministic windows
+        assert (batch["window_end"] > batch["window_start"]).all()
+    assert seen == n_expected
+
+
+def test_eval_deterministic(synthetic_csv):
+    cfg = _data_config(synthetic_csv, augment=False)
+    l1 = get_as_dataloader(cfg, split="val", mode="val", seed=0)
+    l2 = get_as_dataloader(cfg, split="val", mode="val", seed=0)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    assert np.allclose(np.asarray(b1["cine"]), np.asarray(b2["cine"]))
+
+
+def test_image_mode_squeezes_time(synthetic_csv):
+    cfg = _data_config(synthetic_csv, frames=1)
+    cfg["interval_unit"] = "image"
+    cfg["eval_batch_size"] = 8
+    loader = get_as_dataloader(cfg, split="train", mode="train", seed=0)
+    batch = next(iter(loader))
+    assert np.asarray(batch["cine"]).shape == (4, 32, 32, 3)
+
+
+def test_temporal_resize_identity():
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.data.transforms import temporal_resize
+
+    clip = np.random.default_rng(0).random((8, 4, 4)).astype(np.float32)
+    out = temporal_resize(jnp.asarray(clip), jnp.int32(8), 8)
+    np.testing.assert_allclose(np.asarray(out), clip, atol=1e-6)
+    # downsample by 2 = average of frame pairs at half-pixel centers
+    out2 = np.asarray(temporal_resize(jnp.asarray(clip), jnp.int32(8), 4))
+    expect = 0.5 * (clip[0] + clip[1])
+    np.testing.assert_allclose(out2[0], expect, atol=1e-6)
