@@ -1,0 +1,130 @@
+"""R(2+1)D-18 video backbone, channels-last flax.
+
+Re-implements the torchvision ``r2plus1d_18`` trunk used by the reference
+(/root/reference/src/models/resnet_features.py:307-327): a (2+1)D stem and
+four BasicBlock stages where every 3-D conv factorizes into a spatial
+(1,3,3) conv + BN + ReLU + temporal (3,1,1) conv with the standard
+mid-plane count  mid = (in*out*27) // (in*9 + 3*out).
+
+``last_layer_num`` truncates the stage list exactly like the reference's
+``nn.Sequential(children[:last_layer_num])``:
+  -3 -> stem + layer1..3, output (N, T/4, H/8, W/8, 256)
+  -2 -> stem + layer1..4, output (N, T/8, H/16, W/16, 512)
+
+Input: (N, T, H, W, 3) normalized clips. TPU notes: all convs are NDHWC
+XLA convolutions (MXU-tiled); BN stats live in ``batch_stats``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from protoasnet_tpu.models.backbones.resnet2d import kaiming_out
+
+__all__ = ["R2Plus1D18", "midplanes"]
+
+
+def midplanes(inplanes: int, planes: int) -> int:
+    return (inplanes * planes * 3 * 3 * 3) // (inplanes * 3 * 3 + 3 * planes)
+
+
+class Conv2Plus1D(nn.Module):
+    """Factorized 3-D conv: spatial (1,3,3) then temporal (3,1,1)."""
+
+    inplanes: int
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = midplanes(self.inplanes, self.planes)
+        x = nn.Conv(mid, (1, 3, 3), strides=(1, self.stride, self.stride),
+                    padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
+                    kernel_init=kaiming_out, dtype=self.dtype, name="spatial")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn_mid")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.planes, (3, 1, 1), strides=(self.stride, 1, 1),
+                    padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
+                    kernel_init=kaiming_out, dtype=self.dtype, name="temporal")(x)
+        return x
+
+
+class BasicBlock2Plus1D(nn.Module):
+    inplanes: int
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = Conv2Plus1D(self.inplanes, self.planes, self.stride,
+                        dtype=self.dtype, name="conv1")(x, train=train)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = Conv2Plus1D(self.planes, self.planes, 1,
+                        dtype=self.dtype, name="conv2")(y, train=train)
+        y = norm(name="bn2")(y)
+        if self.stride != 1 or self.inplanes != self.planes:
+            residual = nn.Conv(self.planes, (1, 1, 1),
+                               strides=(self.stride,) * 3, use_bias=False,
+                               kernel_init=kaiming_out, dtype=self.dtype,
+                               name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class R2Plus1D18(nn.Module):
+    """Truncatable R(2+1)D-18 trunk. (N, T, H, W, 3) -> (N, T', H', W', C)."""
+
+    last_layer_num: int = -3  # -3 keeps layer1..3 (256ch); -2 keeps layer4 (512ch)
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        n_stages = self._num_stages()
+        return {1: 64, 2: 128, 3: 256, 4: 512}[n_stages]
+
+    def _num_stages(self) -> int:
+        # children = [stem, layer1, layer2, layer3, layer4, avgpool, fc]
+        # children[:last_layer_num] keeps (5 + last_layer_num) modules
+        kept = 7 + self.last_layer_num if self.last_layer_num < 0 else self.last_layer_num
+        n_stages = kept - 1
+        if not 1 <= n_stages <= 4:
+            raise ValueError(f"last_layer_num={self.last_layer_num} keeps no conv stages")
+        return n_stages
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        # (2+1)D stem: 45 mid-channels (torchvision R2Plus1dStem)
+        x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
+                    padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
+                    kernel_init=kaiming_out, dtype=self.dtype, name="stem_spatial")(x)
+        x = norm(name="stem_bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(64, (3, 1, 1), strides=(1, 1, 1),
+                    padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
+                    kernel_init=kaiming_out, dtype=self.dtype, name="stem_temporal")(x)
+        x = norm(name="stem_bn2")(x)
+        x = nn.relu(x)
+
+        n_stages = self._num_stages()
+        inplanes = 64
+        for i in range(n_stages):
+            planes = 64 * (2**i)
+            for j in range(2):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = BasicBlock2Plus1D(inplanes, planes, stride, dtype=self.dtype,
+                                      name=f"layer{i + 1}_{j}")(x, train=train)
+                inplanes = planes
+        return x
