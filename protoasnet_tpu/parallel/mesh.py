@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers — the distributed layer.
+
+The reference has NO distributed backend (SURVEY.md §5.8: single GPU via
+CUDA_VISIBLE_DEVICES). This module is its TPU-native replacement: a 1-D
+``data`` mesh over all chips; train/eval batches are sharded on the batch
+axis, params/opt-state are replicated, and XLA inserts the gradient
+all-reduce over ICI automatically inside the jitted step. The push scan
+reuses the same sharding: per-chip argmin over local batch shards followed
+by a global reduce (free, since the argmin runs under jit on sharded
+inputs).
+
+Scaling axis per SURVEY.md §5.7: batch/clip dimension only — no sequence
+parallelism needed (T' ~ 8 after the backbone).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
+
+_ARRAY_KEYS = (
+    "cine", "target_AS", "t_len", "interval_idx", "window_start", "window_end",
+    "original_length", "valid",
+)
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """1-D data-parallel mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Shard the array fields of a host batch on the batch axis; non-array
+    metadata (filenames, step) passes through untouched."""
+    sharding = batch_sharding(mesh)
+    out = dict(batch)
+    for k in _ARRAY_KEYS:
+        if k in out and hasattr(out[k], "shape"):
+            out[k] = jax.device_put(out[k], sharding)
+    return out

@@ -1,0 +1,245 @@
+"""Jitted train / eval step factories.
+
+One compiled XLA program per (stage, mode): forward (+ the TransformLoss
+second forward), all loss terms, backward, grad accumulation, masked Adam
+update, BN running-stat update. Learning rates enter as runtime scalars so
+the host LR controller never causes recompiles. Batches arrive sharded on
+the ``data`` mesh axis; XLA inserts the gradient all-reduce.
+
+The hot loop this replaces: Video_XProtoNet_e2e.run_epoch:77-155 (per-batch
+forward, 7 losses, backward, accumulation-gated step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from protoasnet_tpu.losses.bundle import LossBundle
+from protoasnet_tpu.train.optim import (
+    GradAccumulator,
+    accumulate_and_maybe_update,
+    label_params,
+    trainable_mask,
+)
+
+__all__ = ["TrainState", "make_xprotonet_steps", "make_protopnet_steps"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    acc: GradAccumulator
+    step: jnp.ndarray  # () int32 — micro-steps taken
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            acc=GradAccumulator.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def _apply_updates_with_lr(params, updates, labels, lrs: Dict[str, jnp.ndarray]):
+    """params - lr[group] * update, per leaf."""
+    return jax.tree_util.tree_map(
+        lambda p, u, lbl: p - lrs[lbl] * u, params, updates, labels
+    )
+
+
+def make_xprotonet_steps(
+    model,
+    bundle: LossBundle,
+    tx,
+    accumulation_steps: int = 1,
+    stage: str = "all",
+    donate: bool = True,
+):
+    """Returns (train_step, eval_step) for XProtoNet/Video_XProtoNet.
+
+    train_step(state, cine, target, valid, rng, lrs) ->
+        (new_state, metrics dict with loss terms + logits + similarities)
+    eval_step(variables..., cine, target, valid, rng) -> metrics dict
+    ``lrs`` is a {group_name: scalar} dict of runtime learning rates.
+    """
+    class_identity = jnp.asarray(model.class_identity())
+
+    def forward_train(params, batch_stats, cine, rng):
+        (logits, sim, occ), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            cine, train=True, mutable=["batch_stats"],
+        )
+
+        def occ_fn(x_t):
+            occ_t, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x_t, train=True, mutable=["batch_stats"],
+                method=model.compute_occurrence_map,
+            )
+            return occ_t
+
+        return logits, sim, occ, occ_fn, mut["batch_stats"]
+
+    def loss_fn(params, batch_stats, cine, target, valid, rng):
+        logits, sim, occ, occ_fn, new_stats = forward_train(
+            params, batch_stats, cine, rng
+        )
+        total, terms = bundle.xprotonet_terms(
+            logits, sim, occ, target,
+            prototype_vectors=params["prototype_vectors"],
+            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
+            class_identity=class_identity,
+            x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
+        )
+        aux = {"terms": terms, "logits": logits, "similarities": sim,
+               "batch_stats": new_stats}
+        return total, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _train_step(state: TrainState, cine, target, valid, rng, lrs):
+        (total, aux), grads = grad_fn(
+            state.params, state.batch_stats, cine, target, valid, rng
+        )
+        # stage freezing: zero grads of frozen groups (keeps Adam moments 0)
+        mask = trainable_mask(state.params, stage)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+        )
+        updates, new_acc, new_opt, applied = accumulate_and_maybe_update(
+            tx, grads, state.acc, state.opt_state, state.params,
+            accumulation_steps,
+        )
+        labels = label_params(state.params)
+        new_params = _apply_updates_with_lr(state.params, updates, labels, lrs)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=aux["batch_stats"],
+            opt_state=new_opt,
+            acc=new_acc,
+            step=state.step + 1,
+        )
+        metrics = {"loss_all": total, **aux["terms"],
+                   "logits": aux["logits"], "similarities": aux["similarities"],
+                   "applied": applied}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    train_step = jax.jit(_train_step, donate_argnums=donate_argnums)
+
+    def _eval_step(params, batch_stats, cine, target, valid, rng):
+        logits, sim, occ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, cine, train=False
+        )
+
+        def occ_fn(x_t):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, x_t, train=False,
+                method=model.compute_occurrence_map,
+            )
+
+        total, terms = bundle.xprotonet_terms(
+            logits, sim, occ, target,
+            prototype_vectors=params["prototype_vectors"],
+            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
+            class_identity=class_identity,
+            x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
+        )
+        return {"loss_all": total, **terms, "logits": logits,
+                "similarities": sim}
+
+    eval_step = jax.jit(_eval_step)
+
+    def _push_step(params, batch_stats, cine):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, cine, train=False,
+            method=model.push_forward,
+        )
+
+    push_step = jax.jit(_push_step)
+    return train_step, eval_step, push_step
+
+
+def make_protopnet_steps(
+    model,
+    bundle: LossBundle,
+    tx,
+    accumulation_steps: int = 1,
+    stage: str = "all",
+    donate: bool = True,
+):
+    """(train_step, eval_step, push_step) for the PPNet baseline."""
+    class_identity = jnp.asarray(model.class_identity())
+
+    def loss_fn(params, batch_stats, cine, target, valid):
+        (logits, min_d), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            cine, train=True, mutable=["batch_stats"],
+        )
+        total, terms = bundle.protopnet_terms(
+            logits, min_d, target,
+            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
+            class_identity=class_identity, valid=valid,
+        )
+        return total, {"terms": terms, "logits": logits, "min_distances": min_d,
+                       "batch_stats": mut["batch_stats"]}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _train_step(state: TrainState, cine, target, valid, rng, lrs):
+        del rng
+        (total, aux), grads = grad_fn(
+            state.params, state.batch_stats, cine, target, valid
+        )
+        mask = trainable_mask(state.params, stage)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+        )
+        updates, new_acc, new_opt, applied = accumulate_and_maybe_update(
+            tx, grads, state.acc, state.opt_state, state.params,
+            accumulation_steps,
+        )
+        labels = label_params(state.params)
+        new_params = _apply_updates_with_lr(state.params, updates, labels, lrs)
+        new_state = state.replace(
+            params=new_params, batch_stats=aux["batch_stats"],
+            opt_state=new_opt, acc=new_acc, step=state.step + 1,
+        )
+        metrics = {"loss_all": total, **aux["terms"], "logits": aux["logits"],
+                   "min_distances": aux["min_distances"], "applied": applied}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    train_step = jax.jit(_train_step, donate_argnums=donate_argnums)
+
+    def _eval_step(params, batch_stats, cine, target, valid, rng):
+        del rng
+        logits, min_d = model.apply(
+            {"params": params, "batch_stats": batch_stats}, cine, train=False
+        )
+        total, terms = bundle.protopnet_terms(
+            logits, min_d, target,
+            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
+            class_identity=class_identity, valid=valid,
+        )
+        return {"loss_all": total, **terms, "logits": logits,
+                "min_distances": min_d}
+
+    eval_step = jax.jit(_eval_step)
+
+    def _push_step(params, batch_stats, cine):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, cine, train=False,
+            method=model.push_forward,
+        )
+
+    push_step = jax.jit(_push_step)
+    return train_step, eval_step, push_step

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protoasnet_tpu.losses.bundle import LossBundle
+from protoasnet_tpu.models.builder import build_model, init_model
+from protoasnet_tpu.train.optim import make_adam
+from protoasnet_tpu.train.steps import TrainState, make_xprotonet_steps
+
+CRITERION = {
+    "CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.3,
+                      "ab_logitpath": "joined", "reduction": "mean"},
+    "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"},
+    "SeparationRoiFeat": {"loss_weight": 0.08, "reduction": "mean"},
+    "OrthogonalityLoss": {"loss_weight": 0.0, "mode": "per_class"},
+    "Lnorm_occurrence": {"p": 2, "loss_weight": 0.0, "reduction": "mean"},
+    "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
+    "Lnorm_FC": {"p": 1, "loss_weight": 0.0001},
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model_cfg = {
+        "name": "Video_XProtoNet",
+        "base_architecture": "resnet2p1d_18",
+        "backbone_last_layer_num": -3,
+        "prototype_shape": (8, 64, 1, 1, 1),
+        "num_classes": 4,
+        "img_size": 32,
+    }
+    model = build_model(model_cfg)
+    x = jnp.zeros((2, 8, 32, 32, 3))
+    params, batch_stats = init_model(model, x, seed=0)
+    bundle = LossBundle(CRITERION, num_classes=4, abstain_class=True)
+    tx = make_adam(weight_decay_by_group={g: 1e-3 for g in
+                                          ("backbone", "add_on", "occurrence",
+                                           "last_layer")},
+                   params=params)
+    state = TrainState.create(params, batch_stats, tx)
+    steps = make_xprotonet_steps(model, bundle, tx, accumulation_steps=2,
+                                 stage="all", donate=False)
+    return model, state, steps
+
+
+def _batch(rng, n=2, label_dependent=True):
+    x = rng.uniform(-0.5, 2.0, size=(n, 8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 3, size=n).astype(np.int32)
+    if label_dependent:  # make the mean intensity correlate with the label
+        x += y[:, None, None, None, None] * 0.5
+    return jnp.asarray(x), jnp.asarray(y), jnp.ones(n, jnp.bool_)
+
+
+def test_train_step_decreases_loss(setup):
+    model, state, (train_step, eval_step, push_step) = setup
+    rng = np.random.default_rng(0)
+    lrs = {g: jnp.float32(3e-4) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        x, y, v = _batch(rng)
+        key, sub = jax.random.split(key)
+        state, m = train_step(state, x, y, v, sub, lrs)
+        losses.append(float(m["loss_all"]))
+        # accumulation: optimizer applies on every 2nd micro step
+        assert bool(m["applied"]) == (i % 2 == 1)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_eval_step_runs_and_matches_shapes(setup):
+    model, state, (train_step, eval_step, push_step) = setup
+    rng = np.random.default_rng(1)
+    x, y, v = _batch(rng, n=3)
+    m = eval_step(state.params, state.batch_stats, x, y, v, jax.random.PRNGKey(1))
+    assert m["logits"].shape == (3, 4)
+    assert m["similarities"].shape == (3, 8)
+    assert np.isfinite(float(m["loss_all"]))
+
+
+def test_push_step_outputs(setup):
+    model, state, (train_step, eval_step, push_step) = setup
+    rng = np.random.default_rng(2)
+    x, y, v = _batch(rng, n=2)
+    roi, dist, occ, logits = push_step(state.params, state.batch_stats, x)
+    assert roi.shape == (2, 8, 64)
+    assert dist.shape == (2, 8)
+    assert (np.asarray(dist) >= -1e-6).all() and (np.asarray(dist) <= 1 + 1e-6).all()
+
+
+def test_frozen_stage_keeps_backbone_params(setup):
+    model, state, _ = setup
+    bundle = LossBundle(CRITERION, num_classes=4, abstain_class=True)
+    tx = make_adam(params=state.params)
+    warm_step, _, _ = make_xprotonet_steps(model, bundle, tx,
+                                           accumulation_steps=1, stage="warm",
+                                           donate=False)
+    rng = np.random.default_rng(3)
+    x, y, v = _batch(rng)
+    lrs = {g: jnp.float32(1e-3) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    st = TrainState.create(state.params, state.batch_stats, tx)
+    new_st, _ = warm_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
+    bb_before = jax.tree_util.tree_leaves(st.params["cnn_backbone"])[0]
+    bb_after = jax.tree_util.tree_leaves(new_st.params["cnn_backbone"])[0]
+    np.testing.assert_array_equal(np.asarray(bb_before), np.asarray(bb_after))
+    ao_before = jax.tree_util.tree_leaves(st.params["add_on_layers"])[0]
+    ao_after = jax.tree_util.tree_leaves(new_st.params["add_on_layers"])[0]
+    assert np.abs(np.asarray(ao_before) - np.asarray(ao_after)).max() > 0
+
+
+def test_sharded_train_step_on_mesh(setup):
+    """Data-parallel: batch sharded over 8 CPU devices, params replicated."""
+    model, state, (train_step, eval_step, push_step) = setup
+    from protoasnet_tpu.parallel import make_mesh, replicate, batch_sharding
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.default_rng(4)
+    x, y, v = _batch(rng, n=8)
+    sharding = batch_sharding(mesh)
+    x = jax.device_put(x, sharding)
+    y = jax.device_put(y, sharding)
+    v = jax.device_put(v, sharding)
+    st = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    lrs = {g: jnp.float32(1e-4) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    new_st, m = train_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
+    assert np.isfinite(float(m["loss_all"]))
+    assert m["logits"].shape == (8, 4)
