@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Headline benchmark: ProtoASNet-Video clips/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+
+The metric is inference throughput of the flagship ProtoASNet-Video model
+(R(2+1)D-18[-3] trunk, 40x256 prototypes, 32x112x112 clips) on the current
+jax default device. vs_baseline is the ratio to the measured PyTorch-CPU
+reference implementation (BASELINE_MEASURED.json, produced once by
+bench_baseline_torch.py; the reference repo publishes no numbers —
+BASELINE.md). Extra diagnostics go to stderr.
+
+Flags: --quick (fewer iters), --train (also time the full train step),
+--batch N, --bf16 (bfloat16 activations on the backbone).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cfg = {
+        "name": "Video_XProtoNet",
+        "base_architecture": "resnet2p1d_18",
+        "backbone_last_layer_num": -3,
+        "prototype_shape": (40, 256, 1, 1, 1),
+        "num_classes": 4,
+        "img_size": 112,
+    }
+    if args.bf16:
+        cfg["dtype"] = "bfloat16"
+    model = build_model(cfg)
+    b = args.batch
+    shape = (b, 32, 112, 112, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    params, batch_stats = init_model(model, x[:1], seed=0)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    # Timing methodology: the axon relay adds a large fixed per-call round
+    # trip and its block_until_ready is unreliable, so each measurement runs
+    # N data-dependent forwards inside ONE jitted lax.fori_loop (the output
+    # feeds the next input — nothing can be elided) and the marginal
+    # per-forward time comes from a two-point fit that cancels the fixed
+    # overhead. Host readback of the final sum forces real completion.
+    @jax.jit
+    def chained(v, x, n):
+        def body(i, xc):
+            logits = model.apply(v, xc, train=False)[0]
+            return xc + 1e-6 * logits.sum()
+        return jax.lax.fori_loop(0, n, body, x).sum()
+
+    t0 = time.time()
+    float(chained(variables, x, 1))
+    log(f"compile(fwd): {time.time() - t0:.1f}s")
+
+    n1, n2 = (3, 10) if args.quick else (10, 40)
+
+    def run(n):
+        t0 = time.time()
+        float(chained(variables, x, n))
+        return time.time() - t0
+
+    t_n1, t_n2 = run(n1), run(n2)
+    per_fwd = (t_n2 - t_n1) / (n2 - n1)
+    infer_cps = b / per_fwd
+    log(f"inference: {infer_cps:.2f} clips/s ({per_fwd * 1000:.2f} ms/batch "
+        f"marginal; fixed overhead ~{t_n1 - per_fwd * n1:.2f}s/call)")
+
+    result = {"infer_clips_per_sec": infer_cps}
+
+    if args.train:
+        from protoasnet_tpu.losses.bundle import LossBundle
+        from protoasnet_tpu.train.optim import GROUPS, make_adam
+        from protoasnet_tpu.train.steps import TrainState, make_xprotonet_steps
+
+        criterion = {
+            "CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.3,
+                              "ab_logitpath": "joined", "reduction": "mean"},
+            "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"},
+            "SeparationRoiFeat": {"loss_weight": 0.08, "reduction": "mean"},
+            "OrthogonalityLoss": {"loss_weight": 0.0, "mode": "per_class"},
+            "Lnorm_occurrence": {"p": 2, "loss_weight": 0.0, "reduction": "mean"},
+            "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
+            "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
+        }
+        bundle = LossBundle(criterion, num_classes=4, abstain_class=True)
+        tx = make_adam(weight_decay_by_group={g: 1e-3 for g in GROUPS},
+                       params=params)
+        train_step, _, _ = make_xprotonet_steps(model, bundle, tx,
+                                                accumulation_steps=1,
+                                                stage="all", donate=True)
+        state = TrainState.create(params, batch_stats, tx)
+        y = jnp.asarray(rng.integers(0, 3, size=b).astype(np.int32))
+        valid = jnp.ones(b, jnp.bool_)
+        lrs = {g: jnp.float32(1e-4) for g in GROUPS}
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        state, m = train_step(state, x, y, valid, key, lrs)
+        m["loss_all"].block_until_ready()
+        log(f"compile(train): {time.time() - t0:.1f}s")
+        iters_t = 3 if args.quick else 10
+        t0 = time.time()
+        for i in range(iters_t):
+            key, sub = jax.random.split(key)
+            state, m = train_step(state, x, y, valid, sub, lrs)
+        m["loss_all"].block_until_ready()
+        dt = time.time() - t0
+        train_cps = b * iters_t / dt
+        log(f"train: {train_cps:.2f} clips/s ({dt / iters_t * 1000:.1f} ms/step)")
+        result["train_clips_per_sec"] = train_cps
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("torch_cpu_infer_clips_per_sec")
+        if ref:
+            vs_baseline = infer_cps / ref
+            log(f"torch-CPU baseline: {ref:.4f} clips/s -> {vs_baseline:.1f}x")
+
+    print(json.dumps({
+        "metric": "protoasnet_video_infer_clips_per_sec",
+        "value": round(infer_cps, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

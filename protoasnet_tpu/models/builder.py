@@ -21,8 +21,12 @@ __all__ = ["build_model", "example_input", "MODEL_NAMES"]
 MODEL_NAMES = ("ProtoPNet", "XProtoNet", "Video_XProtoNet")
 
 
-def build_model(model_config: Dict[str, Any], dtype=jnp.float32):
+def build_model(model_config: Dict[str, Any], dtype=None):
     """Returns an un-initialized flax module for the config."""
+    if dtype is None:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            model_config.get("dtype", "float32")
+        ]
     name = model_config["name"]
     shape = parse_prototype_shape(model_config["prototype_shape"])
     num_classes = int(model_config["num_classes"])

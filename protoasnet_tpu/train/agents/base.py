@@ -1,0 +1,185 @@
+"""Base agent: model/state construction, dataloaders, checkpointing, logging.
+
+Capability parity with the reference BaseAgent (src/agents/base.py:23-229)
+in functional-JAX form: the "model" is (module, TrainState) and every
+epoch runs jitted steps; checkpoints are flax-serialized pytrees
+({epoch, iteration, params, batch_stats, opt_state(s), best_metric} —
+the torch {epoch, iteration, state_dict, optimizer} equivalent).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from protoasnet_tpu.data.dataset import get_as_dataloader
+from protoasnet_tpu.data.manifest import CLASS_LABELS
+from protoasnet_tpu.models.builder import build_model, example_input, init_model
+from protoasnet_tpu.parallel import make_mesh, shard_batch, replicate
+from protoasnet_tpu.tracking import make_tracker
+from protoasnet_tpu.train.metrics import EpochMetrics
+from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint
+
+__all__ = ["BaseAgent"]
+
+
+class BaseAgent:
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.model_config = dict(config["model"])
+        self.train_config = config["train"]
+        self.data_config = dict(config["data"])
+        self.abstain_class = bool(config.get("abstain_class", False))
+        self.save_dir = config.get("save_dir", ".")
+
+        # model (img_size comes from the data section, reference parity)
+        self.model_config.setdefault("img_size", self.data_config.get("img_size", 224))
+        self.model = build_model(self.model_config)
+        sample = example_input(self.model_config, self.data_config, batch_size=1)
+        # initial variables; subclasses move these into TrainState and expose
+        # live values via .params/.batch_stats properties
+        self._params0, self._bstats0 = init_model(
+            self.model, sample, seed=int(self.train_config.get("seed", 0))
+        )
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self._params0))
+        logging.info(f"model {self.model_config['name']}: {n_params / 1e6:.2f}M params")
+
+        # devices / mesh (data-parallel over all visible chips)
+        self.mesh = make_mesh()
+        self.num_devices = int(self.mesh.devices.size)
+        logging.info(f"mesh: {self.num_devices} device(s): {self.mesh}")
+
+        # data
+        self._store_cache: Dict[str, Any] = {}
+        seed = int(self.train_config.get("seed", 0))
+        dl_cfg = dict(self.data_config)
+        dl_cfg["batch_size"] = self.train_config.get("batch_size",
+                                                     dl_cfg.get("batch_size", 8))
+        self.data_loaders = {
+            "train": get_as_dataloader(dl_cfg, "train", "train", seed,
+                                       self._store_cache),
+            "val": get_as_dataloader(dl_cfg, "val", "val", seed, self._store_cache),
+            "test": get_as_dataloader(dl_cfg, "test", "test", seed,
+                                      self._store_cache),
+            "train_push": get_as_dataloader(dl_cfg, "train", "push", seed,
+                                            self._store_cache),
+        }
+
+        self.tracker = make_tracker(config)
+        self.class_labels = list(CLASS_LABELS)
+
+        self.current_epoch = 0
+        self.current_iteration = 0
+        self.best_metric = 0.0
+        self.rng = jax.random.PRNGKey(int(self.train_config.get("seed", 0)))
+
+    # ---------------- helpers ----------------
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def make_metrics(self) -> EpochMetrics:
+        return EpochMetrics(
+            num_classes=int(self.model_config["num_classes"]),
+            abstain_class=self.abstain_class,
+            num_prototypes=self.model.num_prototypes,
+            class_labels=self.class_labels,
+        )
+
+    def shard(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.num_devices > 1:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    @property
+    def logit_names(self):
+        names = list(self.class_labels)
+        if self.abstain_class:
+            names.append("abstain")
+        return names
+
+    def create_pred_log_df(self, batch, logits: np.ndarray) -> pd.DataFrame:
+        """Per-sample prediction rows (reference create_pred_log_df,
+        base.py:195-211), restricted to valid (non-padding) samples."""
+        v = np.asarray(batch["valid"]).astype(bool)
+        data = {
+            "filename": [f for f, ok in zip(batch["filename"], v) if ok],
+            "target_AS": np.asarray(batch["target_AS"])[v],
+            "interval_idx": np.asarray(batch["interval_idx"])[v],
+            "window_start": np.asarray(batch["window_start"])[v],
+            "window_end": np.asarray(batch["window_end"])[v],
+            "original_length": np.asarray(batch["original_length"])[v],
+        }
+        logits = np.asarray(logits)[v]
+        for i, name in enumerate(self.logit_names):
+            data[f"logit_{name}"] = logits[:, i]
+        return pd.DataFrame(data)
+
+    # ---------------- checkpointing ----------------
+
+    def get_state(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def save_checkpoint(self, is_best: bool = False) -> None:
+        if not self.train_config.get("save", True):
+            return
+        state = self.get_state()
+        save_step = self.train_config.get("save_step")
+        if save_step is not None and self.current_epoch % int(save_step) == 0:
+            save_checkpoint(state, os.path.join(
+                self.save_dir, f"epoch_{self.current_epoch}.ckpt"))
+        if is_best:
+            save_checkpoint(state, os.path.join(self.save_dir, "model_best.ckpt"))
+        save_checkpoint(state, os.path.join(self.save_dir, "last.ckpt"))
+
+    def save_model_w_condition(self, model_name: str, metric: float,
+                               threshold: float) -> None:
+        if metric > threshold:
+            save_checkpoint(self.get_state(), os.path.join(
+                self.save_dir, f"{model_name}_f1-{metric:.4f}.ckpt"))
+
+    def load_checkpoint_file(self, path: Optional[str]) -> None:
+        if not path:
+            return
+        if not os.path.exists(path):
+            logging.info(f"No checkpoint at {path!r}; training from scratch")
+            return
+        try:
+            state = load_checkpoint(path, target=self.get_state())
+            self.set_state(state)
+            logging.info(
+                f"Checkpoint loaded from {path} (epoch {self.current_epoch}, "
+                f"iteration {self.current_iteration})"
+            )
+        except Exception:
+            logging.exception(f"Failed to load checkpoint {path}; starting fresh")
+
+    # ---------------- control flow ----------------
+
+    def run(self) -> None:
+        try:
+            self.train()
+        except KeyboardInterrupt:
+            logging.info("CTRL+C received — finalizing")
+
+    def train(self) -> None:
+        raise NotImplementedError
+
+    def evaluate(self, mode: str = "val"):
+        return self.run_epoch(self.current_epoch, mode=mode)
+
+    def run_epoch(self, epoch: int, mode: str = "train"):
+        raise NotImplementedError
+
+    def finalize(self) -> None:
+        self.tracker.finish()
