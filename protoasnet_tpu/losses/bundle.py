@@ -73,13 +73,14 @@ class LossBundle:
 
         w = self._w("ClusterRoiFeat")
         terms["loss_Clst"] = w * L.cluster_roi(
-            similarities, target, self.num_classes, self._red("ClusterRoiFeat")
+            similarities, target, self.num_classes, self._red("ClusterRoiFeat"),
+            valid=valid,
         ) if w else zero
 
         w = self._w("SeparationRoiFeat")
         terms["loss_Sep"] = w * L.separation_roi(
             similarities, target, self.num_classes, self._red("SeparationRoiFeat"),
-            abstain_class=self.abstain_class,
+            abstain_class=self.abstain_class, valid=valid,
         ) if w else zero
 
         w = self._w("OrthogonalityLoss")
@@ -135,12 +136,14 @@ class LossBundle:
 
         w = self._w("ClusterPatch")
         terms["loss_Clst"] = w * L.cluster_patch(
-            min_distances, target, self.num_classes, self._red("ClusterPatch")
+            min_distances, target, self.num_classes, self._red("ClusterPatch"),
+            valid=valid,
         ) if w else zero
 
         w = self._w("SeparationPatch")
         terms["loss_Sep"] = w * L.separation_patch(
-            min_distances, target, self.num_classes, self._red("SeparationPatch")
+            min_distances, target, self.num_classes, self._red("SeparationPatch"),
+            valid=valid,
         ) if w else zero
 
         w = self._w("Lnorm_FC")

@@ -51,9 +51,17 @@ __all__ = [
 _EPS = 1e-8
 
 
-def _reduce_rows(per_row: jnp.ndarray, reduction: str) -> jnp.ndarray:
+def _reduce_rows(per_row: jnp.ndarray, reduction: str,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Reference reduction convention on (N, K) matrices:
-    'mean' -> mean over batch then sum over classes; 'sum' -> sum of all."""
+    'mean' -> mean over batch then sum over classes; 'sum' -> sum of all.
+    ``valid`` masks padding rows (mean divides by the valid count)."""
+    if valid is not None:
+        per_row = per_row * valid[:, None]
+        if reduction == "mean":
+            return per_row.sum(axis=0).sum() / jnp.maximum(valid.sum(), 1)
+        if reduction == "sum":
+            return per_row.sum()
     if reduction == "mean":
         return per_row.mean(axis=0).sum()
     if reduction == "sum":
@@ -81,36 +89,40 @@ def _grouped(per_proto: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return per_proto.reshape(n, num_classes, p // num_classes)
 
 
-def cluster_patch(min_distances, target, num_classes: int, reduction: str = "mean"):
+def cluster_patch(min_distances, target, num_classes: int, reduction: str = "mean",
+                  valid: Optional[jnp.ndarray] = None):
     """Pull down the min own-class patch distance."""
     one_hot = jax.nn.one_hot(target, num_classes, dtype=min_distances.dtype)
     class_min = _grouped(min_distances, num_classes).min(axis=2)  # (N, K)
-    return _reduce_rows(class_min * one_hot, reduction)
+    return _reduce_rows(class_min * one_hot, reduction, valid)
 
 
-def separation_patch(min_distances, target, num_classes: int, reduction: str = "mean"):
+def separation_patch(min_distances, target, num_classes: int, reduction: str = "mean",
+                     valid: Optional[jnp.ndarray] = None):
     """Push up the min other-class patch distance (note the leading minus)."""
     one_hot = jax.nn.one_hot(target, num_classes, dtype=min_distances.dtype)
     class_min = _grouped(min_distances, num_classes).min(axis=2)
-    return -_reduce_rows(class_min * (1.0 - one_hot), reduction)
+    return -_reduce_rows(class_min * (1.0 - one_hot), reduction, valid)
 
 
-def cluster_roi(similarities, target, num_classes: int, reduction: str = "mean"):
+def cluster_roi(similarities, target, num_classes: int, reduction: str = "mean",
+                valid: Optional[jnp.ndarray] = None):
     """-max own-class cosine similarity."""
     one_hot = jax.nn.one_hot(target, num_classes, dtype=similarities.dtype)
     class_max = _grouped(similarities, num_classes).max(axis=2)  # (N, K)
-    return _reduce_rows(-class_max * one_hot, reduction)
+    return _reduce_rows(-class_max * one_hot, reduction, valid)
 
 
 def separation_roi(similarities, target, num_classes: int,
-                   reduction: str = "mean", abstain_class: bool = False):
+                   reduction: str = "mean", abstain_class: bool = False,
+                   valid: Optional[jnp.ndarray] = None):
     """+max other-class similarity; abstain prototypes exempted by forcing
     the last class's one-hot to 1 (loss.py:169-171)."""
     one_hot = jax.nn.one_hot(target, num_classes, dtype=similarities.dtype)
     if abstain_class:
         one_hot = one_hot.at[:, -1].set(1.0)
     class_max = _grouped(similarities, num_classes).max(axis=2)
-    return _reduce_rows(class_max * (1.0 - one_hot), reduction)
+    return _reduce_rows(class_max * (1.0 - one_hot), reduction, valid)
 
 
 def orthogonality_loss(prototype_vectors, num_classes: int, mode: str = "per_class"):

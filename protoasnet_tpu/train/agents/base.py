@@ -59,8 +59,17 @@ class BaseAgent:
         self._store_cache: Dict[str, Any] = {}
         seed = int(self.train_config.get("seed", 0))
         dl_cfg = dict(self.data_config)
-        dl_cfg["batch_size"] = self.train_config.get("batch_size",
-                                                     dl_cfg.get("batch_size", 8))
+        bsz = int(self.train_config.get("batch_size", dl_cfg.get("batch_size", 8)))
+        # batches shard over the mesh: round up to a device multiple
+        # (padding rows carry valid=False and are masked out everywhere)
+        nd = self.num_devices
+        if bsz % nd:
+            bsz = -(-bsz // nd) * nd
+            logging.info(f"batch_size rounded up to {bsz} for {nd}-device mesh")
+        dl_cfg["batch_size"] = bsz
+        ebsz = int(dl_cfg.get("eval_batch_size", 150))
+        if ebsz % nd:
+            dl_cfg["eval_batch_size"] = -(-ebsz // nd) * nd
         self.data_loaders = {
             "train": get_as_dataloader(dl_cfg, "train", "train", seed,
                                        self._store_cache),

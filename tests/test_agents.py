@@ -1,0 +1,131 @@
+"""Agent-level integration: tiny end-to-end train/push/eval on the
+synthetic fixture (the reference's de-facto integration test is its deploy
+script; this is the hermetic equivalent, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from protoasnet_tpu.train.agents import build_agent
+
+
+def _video_config(csv, tmp):
+    return {
+        "agent": "Video_XProtoNet_e2e",
+        "abstain_class": True,
+        "wandb_mode": "disabled",
+        "run_name": "t",
+        "save_dir": str(tmp),
+        "render_prototypes": False,
+        "model": {
+            "checkpoint_path": "",
+            "name": "Video_XProtoNet",
+            "base_architecture": "resnet2p1d_18",
+            "backbone_last_layer_num": -3,
+            "prototype_shape": "(8, 32, 1, 1, 1)",
+            "num_classes": 4,
+        },
+        "train": {
+            "seed": 1,
+            "num_train_epochs": 1,
+            "save": True,
+            "save_step": None,
+            "num_warm_epochs": 0,
+            "batch_size": 3,
+            "accumulation_steps": 2,
+            "push_start": 0,
+            "push_rate": 1,
+            "criterion": {
+                "CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.3,
+                                  "ab_logitpath": "joined", "reduction": "mean"},
+                "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"},
+                "SeparationRoiFeat": {"loss_weight": 0.08, "reduction": "mean"},
+                "OrthogonalityLoss": {"loss_weight": 0.0, "mode": "per_class"},
+                "Lnorm_occurrence": {"p": 2, "loss_weight": 0.0,
+                                     "reduction": "mean"},
+                "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
+                "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
+            },
+            "optimizer": {"name": "Adam", "mode": "lr_same", "lr_same": 1e-4},
+            "lr_schedule": {"name": "ReduceLROnPlateau", "mode": "max",
+                            "factor": 0.5, "patience": 2, "threshold": 1e-4,
+                            "cooldown": 0, "min_lr": 1e-6},
+        },
+        "data": {
+            "data_info_file": csv,
+            "sample_size": None,
+            "sampler": "AS",
+            "view": "all",
+            "augmentation": True,
+            "transform_rotate_degrees": 10,
+            "transform_min_crop_ratio": 0.7,
+            "transform_time_dilation": 0.2,
+            "normalize": True,
+            "img_size": 32,
+            "frames": 8,
+            "iterate_intervals": True,
+            "interval_unit": "cycle",
+            "interval_quant": 1.0,
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def trained_agent(synthetic_csv, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("agent_run")
+    agent = build_agent(_video_config(synthetic_csv, tmp))
+    agent.train()
+    return agent
+
+
+def test_train_runs_and_checkpoints(trained_agent):
+    agent = trained_agent
+    assert os.path.exists(os.path.join(agent.save_dir, "last.ckpt"))
+    # push ran at epoch 0 -> prototypes_info.pickle exists
+    img_dir = os.path.join(agent.save_dir, "img")
+    pickles = [os.path.join(r, f) for r, _, fs in os.walk(img_dir)
+               for f in fs if f == "prototypes_info.pickle"]
+    assert pickles, "push must emit prototypes_info.pickle"
+
+
+def test_eval_and_csv(trained_agent):
+    agent = trained_agent
+    accu, f1, auc = agent.evaluate(mode="test")
+    assert 0 <= accu <= 1 and 0 <= f1 <= 1
+    csvs = os.listdir(os.path.join(agent.save_dir, "csv_test"))
+    assert csvs
+
+
+def test_push_projects_prototypes_onto_roi_features(trained_agent):
+    agent = trained_agent
+    # train() already ran a replacing push (push_start=0); a second push
+    # must be idempotent (same winners -> same vectors)...
+    before = np.asarray(agent.params["prototype_vectors"]).copy()
+    agent.push(replace_prototypes=True)
+    after = np.asarray(agent.params["prototype_vectors"])
+    np.testing.assert_allclose(before, after, atol=1e-5)
+    # ...and every projected prototype must sit ON some training ROI
+    # feature: best 1-cos01 distance over the push set ~ 0
+    loader = agent.data_loaders["train_push"]
+    best = np.full(agent.model.num_prototypes, np.inf)
+    for batch in loader:
+        _, dist, _, _ = agent.push_step(agent.params, agent.batch_stats,
+                                        batch["cine"])
+        d = np.asarray(dist)[np.asarray(batch["valid"])]
+        best = np.minimum(best, d.min(axis=0))
+    assert best.max() < 1e-3, f"projected prototypes should hit dist~0, got {best}"
+
+
+def test_checkpoint_roundtrip(trained_agent, synthetic_csv, tmp_path):
+    agent = trained_agent
+    cfg = _video_config(synthetic_csv, tmp_path)
+    cfg["model"]["checkpoint_path"] = os.path.join(agent.save_dir, "last.ckpt")
+    agent2 = build_agent(cfg)
+    a = np.asarray(agent.params["prototype_vectors"])
+    b = np.asarray(agent2.params["prototype_vectors"])
+    # agent pushed after last.ckpt was written, so compare backbone params
+    l1 = np.asarray(
+        next(iter(agent2.params["last_layer"].values()))["kernel"])
+    assert l1.shape == (8, 4)
+    assert agent2.current_epoch == agent.current_epoch
