@@ -47,6 +47,12 @@ class BaseAgent:
         self._params0, self._bstats0 = init_model(
             self.model, sample, seed=int(self.train_config.get("seed", 0))
         )
+        if self.model_config.get("pretrained", False):
+            from protoasnet_tpu.models.torch_import import load_pretrained_backbone
+
+            self._params0, self._bstats0 = load_pretrained_backbone(
+                self._params0, self._bstats0, self.model_config
+            )
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self._params0))
         logging.info(f"model {self.model_config['name']}: {n_params / 1e6:.2f}M params")
 

@@ -1,0 +1,177 @@
+"""Golden backbone parity: torchvision-format weights imported into the
+flax trunks must reproduce the torch forward at fp32 tolerance
+(SURVEY.md §7 step 2 requirement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+
+from protoasnet_tpu.models.backbones.r2plus1d import R2Plus1D18, midplanes
+from protoasnet_tpu.models.backbones.resnet2d import resnet_features
+from protoasnet_tpu.models.torch_import import convert_r2plus1d, convert_resnet2d
+
+
+# ---- torchvision-layout torch models (built here: torchvision not installed)
+
+class TVBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + r)
+
+
+class TVResNet18Features(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for i, n in enumerate([2, 2, 2, 2]):
+            blocks = []
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TVBasicBlock(cin, 64 * 2**i, stride))
+                cin = 64 * 2**i
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+def tv_conv2plus1d(cin, cout, stride=1):
+    mid = midplanes(cin, cout)
+    return nn.Sequential(
+        nn.Conv3d(cin, mid, (1, 3, 3), (1, stride, stride), (0, 1, 1), bias=False),
+        nn.BatchNorm3d(mid),
+        nn.ReLU(),
+        nn.Conv3d(mid, cout, (3, 1, 1), (stride, 1, 1), (1, 0, 0), bias=False),
+    )
+
+
+class TVVideoBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Sequential(tv_conv2plus1d(cin, cout, stride),
+                                   nn.BatchNorm3d(cout), nn.ReLU())
+        self.conv2 = nn.Sequential(tv_conv2plus1d(cout, cout),
+                                   nn.BatchNorm3d(cout))
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv3d(cin, cout, 1, (stride,) * 3, bias=False),
+                nn.BatchNorm3d(cout),
+            )
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        return self.relu(self.conv2(self.conv1(x)) + r)
+
+
+class TVR2Plus1D(nn.Module):
+    def __init__(self, num_stages=3):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 45, (1, 7, 7), (1, 2, 2), (0, 3, 3), bias=False),
+            nn.BatchNorm3d(45), nn.ReLU(),
+            nn.Conv3d(45, 64, (3, 1, 1), 1, (1, 0, 0), bias=False),
+            nn.BatchNorm3d(64), nn.ReLU(),
+        )
+        cin = 64
+        for i in range(num_stages):
+            blocks = []
+            for j in range(2):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TVVideoBlock(cin, 64 * 2**i, stride))
+                cin = 64 * 2**i
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.num_stages = num_stages
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(self.num_stages):
+            x = getattr(self, f"layer{i + 1}")(x)
+        return x
+
+
+def test_resnet18_import_forward_parity():
+    torch.manual_seed(0)
+    tv = TVResNet18Features().eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_resnet2d(sd, "resnet18")
+
+    model = resnet_features("resnet18")
+    x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    # template init to validate structure, then substitute imported weights
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert jax.tree_util.tree_structure(variables["params"]) == \
+        jax.tree_util.tree_structure(jax.tree_util.tree_map(jnp.asarray, params))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tv(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_r2plus1d_import_forward_parity():
+    torch.manual_seed(1)
+    tv = TVR2Plus1D(num_stages=3).eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_r2plus1d(sd, num_stages=3)
+
+    model = R2Plus1D18(last_layer_num=-3)
+    x = np.random.default_rng(1).normal(size=(1, 8, 32, 32, 3)).astype(np.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tv(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_load_pretrained_backbone_from_file(tmp_path, monkeypatch):
+    """End-to-end: a .pth on disk is found, converted, and merged."""
+    torch.manual_seed(2)
+    tv = TVR2Plus1D(num_stages=3)
+    path = tmp_path / "resnet2p1d_18.pth"
+    torch.save(tv.state_dict(), str(path))
+    monkeypatch.setenv("PROTOASNET_PRETRAINED_DIR", str(tmp_path))
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+    from protoasnet_tpu.models.torch_import import load_pretrained_backbone
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 64, 1, 1, 1),
+           "num_classes": 4, "img_size": 32, "pretrained": True}
+    model = build_model(cfg)
+    params, stats = init_model(model, jnp.zeros((1, 8, 32, 32, 3)), seed=0)
+    new_params, new_stats = load_pretrained_backbone(params, stats, cfg)
+    want = tv.state_dict()["stem.0.weight"].numpy()
+    got = np.asarray(new_params["cnn_backbone"]["stem_spatial"]["kernel"])
+    np.testing.assert_allclose(got, np.transpose(want, (2, 3, 4, 1, 0)))
+    # non-backbone params untouched
+    np.testing.assert_allclose(
+        np.asarray(new_params["prototype_vectors"]),
+        np.asarray(params["prototype_vectors"]))
