@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from protoasnet_tpu.models.backbones.resnet2d import resnet_features
+from protoasnet_tpu.models.backbones import make_backbone
 from protoasnet_tpu.models.layers import (
     BottleneckAddOn,
     AddOnLayers,
@@ -58,7 +58,7 @@ class PPNet(nn.Module):
         return prototype_class_identity(self.num_prototypes, self.num_classes)
 
     def setup(self):
-        self.features = resnet_features(self.base_architecture, dtype=self.dtype)
+        self.features = make_backbone(self.base_architecture, dtype=self.dtype)
         p, d = self.num_prototypes, self.proto_dim
         if self.add_on_layers_type == "bottleneck":
             self.add_on_layers = BottleneckAddOn(

@@ -23,8 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from protoasnet_tpu.models.backbones.r2plus1d import R2Plus1D18
-from protoasnet_tpu.models.backbones.resnet2d import resnet_features
+from protoasnet_tpu.models.backbones import make_backbone
 from protoasnet_tpu.models.layers import (
     AddOnLayers,
     OccurrenceModule,
@@ -67,12 +66,10 @@ class XProtoNet(nn.Module):
         return prototype_class_identity(self.num_prototypes, self.num_classes)
 
     def setup(self):
-        if self.is_video:
-            self.cnn_backbone = R2Plus1D18(
-                last_layer_num=self.backbone_last_layer_num, dtype=self.dtype
-            )
-        else:
-            self.cnn_backbone = resnet_features(self.base_architecture, dtype=self.dtype)
+        self.cnn_backbone = make_backbone(
+            self.base_architecture, dtype=self.dtype,
+            last_layer_num=self.backbone_last_layer_num,
+        )
         p, d = self.num_prototypes, self.proto_dim
         self.add_on_layers = AddOnLayers(features=d, dtype=self.dtype)
         self.occurrence_module = OccurrenceModule(hidden=d, num_prototypes=p,

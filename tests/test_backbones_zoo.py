@@ -1,0 +1,66 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protoasnet_tpu.models.backbones import make_backbone
+
+
+@pytest.mark.parametrize("name,out_c", [
+    ("densenet121", 1024),
+    ("vgg11", 512),
+    ("vgg11_bn", 512),
+])
+def test_zoo_shapes(name, out_c):
+    model = make_backbone(name)
+    assert model.out_channels == out_c
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False,
+                      mutable=["batch_stats"])[0] if "batch_stats" in variables \
+        else model.apply(variables, x, train=False)
+    assert out.shape == (1, 2, 2, out_c)  # stride 32
+
+
+def test_densenet_out_channels_table():
+    assert make_backbone("densenet161").out_channels == 2208
+    assert make_backbone("densenet169").out_channels == 1664
+    assert make_backbone("densenet201").out_channels == 1920
+
+
+def test_conv_info_chains():
+    ks, ss, ps = make_backbone("vgg16").conv_info()
+    assert len(ks) == 13 + 5  # 13 convs + 5 pools
+    assert sum(1 for s in ss if s == 2) == 5  # vgg: 5 pools -> stride 32
+    ks, ss, ps = make_backbone("densenet121").conv_info()
+    # conv0 + pool + 2*(6+12+24+16) layers-convs + 3 transitions * 2
+    assert len(ks) == 2 + 2 * 58 + 6
+    assert sum(1 for s in ss if s == 2) == 5  # conv0+pool+3 transitions
+
+
+def test_xprotonet_with_vgg_backbone():
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "XProtoNet", "base_architecture": "vgg11",
+           "prototype_shape": (6, 128, 1, 1), "num_classes": 3, "img_size": 64}
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    params, stats = init_model(model, x, seed=0)
+    logits, sim, occ = model.apply({"params": params, "batch_stats": stats},
+                                   x, train=False)
+    assert logits.shape == (2, 3) and sim.shape == (2, 6)
+
+
+def test_protopnet_with_densenet_backbone():
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "ProtoPNet", "base_architecture": "densenet121",
+           "prototype_shape": (6, 128, 1, 1), "num_classes": 3, "img_size": 64,
+           "add_on_layers_type": "bottleneck"}
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    params, stats = init_model(model, x, seed=0)
+    logits, min_d = model.apply({"params": params, "batch_stats": stats},
+                                x, train=False)
+    assert logits.shape == (1, 3)
