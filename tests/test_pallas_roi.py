@@ -1,0 +1,67 @@
+"""Pallas fused ROI+cosine head: parity vs the XLA path (interpret mode on
+CPU; the compiled kernel is exercised by bench.py --head pallas on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protoasnet_tpu.ops.pallas_roi import roi_cosine_pallas
+from protoasnet_tpu.ops.roi_cosine import roi_cosine_head
+
+
+def _data(seed=0, n=2, t=2, h=3, w=3, d=16, p=6):
+    rng = np.random.default_rng(seed)
+    occ = np.abs(rng.normal(size=(n, t, h, w, p))).astype(np.float32)
+    feat = rng.normal(size=(n, t, h, w, d)).astype(np.float32)
+    protos = rng.normal(size=(p, d)).astype(np.float32)
+    return jnp.asarray(occ), jnp.asarray(feat), jnp.asarray(protos)
+
+
+def test_forward_matches_xla():
+    occ, feat, protos = _data()
+    roi_p, sim_p = roi_cosine_pallas(occ, feat, protos, interpret=True)
+    roi_x, sim_x = roi_cosine_head(occ, feat, protos, impl="xla")
+    np.testing.assert_allclose(np.asarray(roi_p), np.asarray(roi_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_match_xla():
+    occ, feat, protos = _data(seed=1)
+
+    def loss_pallas(occ, feat, protos):
+        roi, sim = roi_cosine_pallas(occ, feat, protos, interpret=True)
+        return jnp.sum(sim**2) + 0.1 * jnp.sum(roi**2)
+
+    def loss_xla(occ, feat, protos):
+        roi, sim = roi_cosine_head(occ, feat, protos, impl="xla")
+        return jnp.sum(sim**2) + 0.1 * jnp.sum(roi**2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(occ, feat, protos)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(occ, feat, protos)
+    for a, b, name in zip(g_p, g_x, ["occ", "feat", "protos"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_model_with_pallas_head():
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 32, 1, 1, 1),
+           "num_classes": 4, "img_size": 32, "head_impl": "pallas"}
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 32, 32, 3)),
+                    jnp.float32)
+    params, stats = init_model(model, x, seed=0)
+    logits, sim, occ = model.apply({"params": params, "batch_stats": stats},
+                                   x, train=False)
+    cfg_xla = dict(cfg, head_impl="xla")
+    model_x = build_model(cfg_xla)
+    logits_x, sim_x, _ = model_x.apply({"params": params, "batch_stats": stats},
+                                       x, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_x),
+                               rtol=1e-4, atol=1e-5)
