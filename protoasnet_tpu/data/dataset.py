@@ -58,9 +58,16 @@ def _load_cine(path: str) -> np.ndarray:
 def _resize_spatial(video: np.ndarray, size: int) -> np.ndarray:
     """Area-resize all frames of a (T, H, W) uint8 video to (T, size, size).
 
-    Uses cv2 multi-channel resize ((H, W, T) layout, 4 frames per call —
-    cv2's INTER_AREA channel limit) instead of one call per frame.
+    Prefers the native C++ core (native/cinestore.cpp, threaded area
+    resize); falls back to cv2 multi-channel resize ((H, W, T) layout,
+    4 frames per call — cv2's INTER_AREA channel limit).
     """
+    from protoasnet_tpu.data.native import resize_video_u8
+
+    native = resize_video_u8(video, size)
+    if native is not None:
+        return native
+
     import cv2
 
     t = video.shape[0]
@@ -196,28 +203,34 @@ class ASClipDataset:
         return vid, start, start + wsize, 0
 
     def gather(self, items: np.ndarray, rng: np.random.Generator) -> Dict[str, Any]:
-        """Assemble a host batch for the given sample indices (padded uint8)."""
+        """Assemble a host batch for the given sample indices (padded uint8).
+
+        The clip copy goes through the native batched gather
+        (native/cinestore.cpp) when available; NumPy otherwise."""
         b = len(items)
-        clips = np.zeros((b, self.t_max, self.img_size, self.img_size), dtype=np.uint8)
-        t_len = np.empty(b, dtype=np.int32)
-        target = np.empty(b, dtype=np.int32)
-        interval_idx = np.empty(b, dtype=np.int32)
+        vids = np.empty(b, dtype=np.int32)
         w_start = np.empty(b, dtype=np.int32)
         w_end = np.empty(b, dtype=np.int32)
-        orig_len = np.empty(b, dtype=np.int32)
-        filenames: List[str] = []
+        interval_idx = np.empty(b, dtype=np.int32)
         for k, item in enumerate(items):
             vid, start, end, iidx = self.sample_window(int(item), rng)
-            win = self.store.window(vid, start, end)
-            n = win.shape[0]
-            clips[k, :n] = win
-            t_len[k] = n
-            target[k] = self.manifest.labels[vid]
-            interval_idx[k] = iidx
-            w_start[k] = start
-            w_end[k] = end
-            orig_len[k] = self.manifest.frames[vid]
-            filenames.append(self.manifest.filenames[vid])
+            vids[k], w_start[k], w_end[k], interval_idx[k] = vid, start, end, iidx
+
+        from protoasnet_tpu.data.native import gather_windows
+
+        clips = gather_windows(self.store._data, self.store.offsets, vids,
+                               w_start, w_end, self.t_max)
+        if clips is None:
+            clips = np.zeros((b, self.t_max, self.img_size, self.img_size),
+                             dtype=np.uint8)
+            for k in range(b):
+                win = self.store.window(int(vids[k]), int(w_start[k]),
+                                        int(w_end[k]))
+                clips[k, : win.shape[0]] = win
+        t_len = (w_end - w_start).astype(np.int32)
+        target = self.manifest.labels[vids].astype(np.int32)
+        orig_len = self.manifest.frames[vids].astype(np.int32)
+        filenames: List[str] = list(self.manifest.filenames[vids])
         return {
             "clip_u8": clips,
             "t_len": t_len,
