@@ -140,6 +140,10 @@ class PrototypeReadout(nn.Module):
     def __call__(self, sim):
         def init(key, shape, dtype=jnp.float32):
             del key
+            if self.num_prototypes % self.num_classes != 0:
+                # pruned models have uneven per-class counts; init values are
+                # irrelevant there (params come from a checkpoint)
+                return jnp.zeros(shape, dtype)
             return jnp.asarray(
                 incorrect_connection_kernel(
                     self.num_prototypes, self.num_classes, self.incorrect_strength

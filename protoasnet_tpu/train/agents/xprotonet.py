@@ -102,39 +102,60 @@ class _XProtoNetAgentCommon(BaseAgent):
         train_step, eval_step = self._steps_for(optimizer_name)
         epoch_steps = len(loader)
 
-        for batch in loader:
-            batch = self.shard(batch)
-            rng = self.next_rng()
-            target = jnp.asarray(np.asarray(batch["target_AS"]))
-            valid = jnp.asarray(np.asarray(batch["valid"]))
-            if is_train:
-                state = self._state_for(optimizer_name)
-                state, m = train_step(state, batch["cine"], target, valid,
-                                      rng, self._lrs())
-                self._set_state_for(optimizer_name, state)
-                self.current_iteration += 1
-            else:
-                m = eval_step(self.params, self.batch_stats, batch["cine"],
-                              target, valid, rng)
+        import contextlib
 
-            loss_terms = {k: float(v) for k, v in m.items()
-                          if k.startswith("loss")}
-            batch_stats = metrics.update(
-                m["logits"], batch["target_AS"], batch["valid"],
-                similarities=m["similarities"], loss_terms=loss_terms,
-            )
-            step = epoch * epoch_steps + batch["step"]
-            self.tracker.log({
-                f"batch_{mode}/step": step,
-                **{f"batch_{mode}/{k}": v for k, v in loss_terms.items()},
-                **{f"batch_{mode}/{k}": v for k, v in batch_stats.items()},
-            })
-            if mode in ("val_push", "test"):
-                epoch_pred_log.append(
-                    self.create_pred_log_df(batch, np.asarray(m["logits"]))
+        from protoasnet_tpu.utils.profiling import StepTimer, trace
+
+        profile_dir = (self.config.get("profile_dir")
+                       or os.environ.get("PROTOASNET_PROFILE_DIR"))
+        do_trace = (is_train and profile_dir
+                    and epoch == int(self.config.get("profile_epoch", 1)))
+        stack = contextlib.ExitStack()
+        stack.enter_context(trace(profile_dir if do_trace else None))
+
+        timer = StepTimer()
+        it = iter(loader)
+        while True:
+            with timer.phase("data"):
+                batch = next(it, None)
+            if batch is None:
+                break
+            with timer.phase("step"):
+                batch = self.shard(batch)
+                rng = self.next_rng()
+                target = jnp.asarray(np.asarray(batch["target_AS"]))
+                valid = jnp.asarray(np.asarray(batch["valid"]))
+                if is_train:
+                    state = self._state_for(optimizer_name)
+                    state, m = train_step(state, batch["cine"], target, valid,
+                                          rng, self._lrs())
+                    self._set_state_for(optimizer_name, state)
+                    self.current_iteration += 1
+                else:
+                    m = eval_step(self.params, self.batch_stats, batch["cine"],
+                                  target, valid, rng)
+
+            with timer.phase("host_metrics"):
+                loss_terms = {k: float(v) for k, v in m.items()
+                              if k.startswith("loss")}
+                batch_stats = metrics.update(
+                    m["logits"], batch["target_AS"], batch["valid"],
+                    similarities=m["similarities"], loss_terms=loss_terms,
                 )
+                step = epoch * epoch_steps + batch["step"]
+                self.tracker.log({
+                    f"batch_{mode}/step": step,
+                    **{f"batch_{mode}/{k}": v for k, v in loss_terms.items()},
+                    **{f"batch_{mode}/{k}": v for k, v in batch_stats.items()},
+                })
+                if mode in ("val_push", "test"):
+                    epoch_pred_log.append(
+                        self.create_pred_log_df(batch, np.asarray(m["logits"]))
+                    )
 
+        stack.close()
         summary = metrics.compute()
+        timer.log(prefix=f"{mode} e{epoch} ")
         self._epoch_log(epoch, mode, summary, time.time() - t0)
 
         if mode in ("val_push", "test") and epoch_pred_log:
@@ -191,6 +212,32 @@ class _XProtoNetAgentCommon(BaseAgent):
 
     def _replace_params(self, new_params) -> None:
         raise NotImplementedError
+
+    def get_sim_scores(self, mode: str = "train") -> None:
+        """Dump per-sample prototype similarity scores + targets for
+        prototype-ranking analysis (reference get_sim_scores,
+        XProtoNet_Base.py:613-656; .npz instead of torch .pth)."""
+        loader = self.data_loaders[mode.split("_")[0]]
+        sims, targets = [], []
+        for batch in loader:
+            _, dist, _, _ = self.push_step(self.params, self.batch_stats,
+                                           batch["cine"])
+            v = np.asarray(batch["valid"]).astype(bool)
+            sims.append(np.asarray(1.0 - np.asarray(dist))[v])
+            targets.append(np.asarray(batch["target_AS"])[v])
+        out_dir = os.path.join(self.save_dir, "ranking_prototypes")
+        makedir(out_dir)
+        np.savez(
+            os.path.join(out_dir, f"sim_scores_{mode}_epoch{self.current_epoch}.npz"),
+            sim_scores=np.concatenate(sims), targets=np.concatenate(targets),
+        )
+        logging.info(f"sim scores written to {out_dir}")
+
+    def load_sim_scores(self, epoch: int, mode: str):
+        data = np.load(os.path.join(
+            self.save_dir, "ranking_prototypes",
+            f"sim_scores_{mode}_epoch{epoch}.npz"))
+        return data["sim_scores"], data["targets"]
 
     def explain_local(self, mode: str = "test") -> None:
         from protoasnet_tpu.explain.local import explain_local

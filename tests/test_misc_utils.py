@@ -1,0 +1,73 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from protoasnet_tpu.models.layers import prototype_class_identity
+from protoasnet_tpu.models.surgery import prune_prototypes
+from protoasnet_tpu.utils.preprocess import (
+    preprocess_input_function,
+    undo_preprocess_input_function,
+)
+from protoasnet_tpu.utils.profiling import StepTimer
+
+
+def test_prune_prototypes_shapes_and_forward():
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 32, 1, 1, 1),
+           "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 32, 32, 3)),
+                    jnp.float32)
+    params, stats = init_model(model, x, seed=0)
+    ident = prototype_class_identity(8, 4)
+    new_params, new_ident, keep = prune_prototypes(params, ident, [1, 5])
+    assert new_params["prototype_vectors"].shape == (6, 32)
+    assert new_params["last_layer"]["Dense_0"]["kernel"].shape == (6, 4)
+    assert new_ident.shape == (6, 4)
+    assert keep == [0, 2, 3, 4, 6, 7]
+    # pruned model forward works with a shrunk config
+    cfg2 = dict(cfg, prototype_shape=(6, 32, 1, 1, 1))
+    model2 = build_model(cfg2)
+    logits, sim, occ = model2.apply({"params": new_params, "batch_stats": stats},
+                                    x, train=False)
+    assert logits.shape == (1, 4) and sim.shape == (1, 6)
+    assert occ.shape[-1] == 6
+    # kept prototypes' behavior is preserved: similarity of kept rows equals
+    # the original model's at the same indices
+    logits0, sim0, _ = model.apply({"params": params, "batch_stats": stats},
+                                   x, train=False)
+    np.testing.assert_allclose(np.asarray(sim)[0],
+                               np.asarray(sim0)[0][np.asarray(keep)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_imagenet_preprocess_roundtrip():
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, size=(2, 4, 4, 3)),
+                    jnp.float32)
+    y = undo_preprocess_input_function(preprocess_input_function(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer()
+    with t.phase("a"):
+        time.sleep(0.01)
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    s = t.summary()
+    assert s["a"] >= 0.01 and t.counts["a"] == 2 and "b" in s
+    t.log("test ")  # must not raise
+
+
+def test_trace_noop_without_dir():
+    from protoasnet_tpu.utils.profiling import trace
+
+    with trace(None):
+        pass  # no-op path
