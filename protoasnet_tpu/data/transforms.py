@@ -24,12 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from protoasnet_tpu.ops.affine import (
-    affine_warp_video,
-    compose,
-    crop_resize_matrix,
-    rotate_scale_matrix,
-)
+from protoasnet_tpu.ops.affine_fast import crop_resize_video, rotate_video
 
 # Dataset intensity statistics (reference bin_to_norm, as_dataloader.py:174-182).
 NORM_MEAN = 0.099
@@ -88,15 +83,16 @@ def _sample_crop_params(rng, img_size: int, min_crop_ratio: float):
     return top, left, h, w
 
 
-def _augment_matrix(rng, img_size: int, min_crop_ratio: float, rotate_degrees: float):
-    """One fused inverse-map matrix: random-resized-crop then rotate."""
+def _augment(rng, clip, img_size: int, min_crop_ratio: float,
+             rotate_degrees: float):
+    """Random-resized-crop then rotate, as MXU-native resamplings
+    (ops/affine_fast.py) — no gathers in the input pipeline."""
     k_crop, k_rot = jax.random.split(rng)
     top, left, h, w = _sample_crop_params(k_crop, img_size, min_crop_ratio)
-    m_crop = crop_resize_matrix(top, left, h, w, img_size, img_size)
-    angle = jax.random.uniform(k_rot, (), minval=-rotate_degrees, maxval=rotate_degrees)
-    m_rot = rotate_scale_matrix(angle, jnp.float32(1.0), img_size, img_size)
-    # rotate happens last in image space -> outer on output coords
-    return compose(m_rot, m_crop)
+    clip = crop_resize_video(clip, top, left, h, w, (img_size, img_size))
+    angle = jax.random.uniform(k_rot, (), minval=-rotate_degrees,
+                               maxval=rotate_degrees)
+    return rotate_video(clip, angle)
 
 
 def make_preprocess_fn(
@@ -118,8 +114,7 @@ def make_preprocess_fn(
         x = clip_u8.astype(jnp.float32) * (1.0 / 255.0)  # (T_max, S, S) in [0,1]
         x = temporal_resize(x, t_len, frames_out)  # (frames_out, S, S)
         if augment:
-            m = _augment_matrix(rng, img_size, min_crop_ratio, rotate_degrees)
-            x = affine_warp_video(x, m, (img_size, img_size))
+            x = _augment(rng, x, img_size, min_crop_ratio, rotate_degrees)
         if do_normalize:
             x = normalize(x)
         x = jnp.broadcast_to(x[..., None], x.shape + (3,))  # gray -> 3ch

@@ -30,7 +30,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from protoasnet_tpu.ops.affine import affine_warp_video, rotate_scale_matrix
+from protoasnet_tpu.ops.affine import affine_warp_video, rotate_scale_matrix  # noqa: F401 (gather reference path)
+from protoasnet_tpu.ops.affine_fast import rotate_scale_video
 
 __all__ = [
     "mse_loss",
@@ -210,10 +211,14 @@ def transform_loss(
     video = x.ndim == 5
 
     def warp(batch, out_hw):
-        m = rotate_scale_matrix(angle, scale, out_hw[0], out_hw[1])
+        # MXU-native warp (banded matmuls) — the gather-based warp costs
+        # ~60 ms/step on TPU for the flagship shapes (see ops/affine_fast.py)
+        del out_hw
         if video:
-            return jax.vmap(lambda clip: affine_warp_video(clip, m, out_hw))(batch)
-        return jax.vmap(lambda img: affine_warp_video(img[None], m, out_hw)[0])(batch)
+            return jax.vmap(lambda clip: rotate_scale_video(clip, angle, scale))(batch)
+        return jax.vmap(
+            lambda img: rotate_scale_video(img[None], angle, scale)[0]
+        )(batch)
 
     x_t = warp(x, (x.shape[-3], x.shape[-2]))
     occ_of_transformed = occ_fn(x_t)

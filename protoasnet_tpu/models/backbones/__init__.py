@@ -31,11 +31,12 @@ BACKBONE_NAMES = (
 )
 
 
-def make_backbone(name: str, dtype: Any = jnp.float32, last_layer_num: int = -3):
+def make_backbone(name: str, dtype: Any = jnp.float32, last_layer_num: int = -3,
+                  remat: bool = False):
     """Factory: architecture name -> flax trunk module (with .out_channels
     and, for 2-D trunks, .conv_info())."""
     if name == "resnet2p1d_18":
-        return R2Plus1D18(last_layer_num=last_layer_num, dtype=dtype)
+        return R2Plus1D18(last_layer_num=last_layer_num, dtype=dtype, remat=remat)
     if name in RESNET_SPECS:
         return ResNetFeatures(block_name=name, dtype=dtype)
     if name in DENSENET_SPECS:

@@ -87,6 +87,7 @@ class R2Plus1D18(nn.Module):
 
     last_layer_num: int = -3  # -3 keeps layer1..3 (256ch); -2 keeps layer4 (512ch)
     dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint each block: activations traded for FLOPs
 
     @property
     def out_channels(self) -> int:
@@ -119,12 +120,14 @@ class R2Plus1D18(nn.Module):
         x = nn.relu(x)
 
         n_stages = self._num_stages()
+        block_cls = (nn.remat(BasicBlock2Plus1D, static_argnums=(2,))
+                     if self.remat else BasicBlock2Plus1D)
         inplanes = 64
         for i in range(n_stages):
             planes = 64 * (2**i)
             for j in range(2):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = BasicBlock2Plus1D(inplanes, planes, stride, dtype=self.dtype,
-                                      name=f"layer{i + 1}_{j}")(x, train=train)
+                x = block_cls(inplanes, planes, stride, dtype=self.dtype,
+                              name=f"layer{i + 1}_{j}")(x, train)
                 inplanes = planes
         return x

@@ -56,6 +56,7 @@ def build_model(model_config: Dict[str, Any], dtype=None):
             backbone_last_layer_num=int(model_config.get("backbone_last_layer_num", -3)),
             img_size=img_size,
             head_impl=head_impl,
+            remat=bool(model_config.get("remat", False)),
             dtype=dtype,
         )
     raise ValueError(f"Unknown model name {name!r}; options: {MODEL_NAMES}")

@@ -48,6 +48,7 @@ class XProtoNet(nn.Module):
     backbone_last_layer_num: int = -3  # video backbone truncation
     img_size: int = 224
     head_impl: str = "xla"  # "xla" | "pallas"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -69,6 +70,7 @@ class XProtoNet(nn.Module):
         self.cnn_backbone = make_backbone(
             self.base_architecture, dtype=self.dtype,
             last_layer_num=self.backbone_last_layer_num,
+            remat=self.remat,
         )
         p, d = self.num_prototypes, self.proto_dim
         self.add_on_layers = AddOnLayers(features=d, dtype=self.dtype)

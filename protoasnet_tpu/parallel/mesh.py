@@ -48,6 +48,22 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def global_batch_from_local(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Multi-host input path: each process feeds its LOCAL batch shard and
+    this assembles the global jax.Arrays
+    (jax.make_array_from_process_local_data over the data axis) — the DCN
+    scale-out design from SURVEY.md §5.8. On a single process this is
+    equivalent to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    sharding = batch_sharding(mesh)
+    out = dict(batch)
+    for k in _ARRAY_KEYS:
+        if k in out and hasattr(out[k], "shape"):
+            out[k] = jax.make_array_from_process_local_data(sharding, out[k])
+    return out
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Shard the array fields of a host batch on the batch axis; non-array
     metadata (filenames, step) passes through untouched."""

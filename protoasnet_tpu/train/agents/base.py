@@ -196,5 +196,24 @@ class BaseAgent:
     def run_epoch(self, epoch: int, mode: str = "train"):
         raise NotImplementedError
 
+    def print_model_summary(self) -> None:
+        """Per-submodule parameter/shape table (the reference's torchsummary
+        print, base.py:227-229 / Video_XProtoNet_e2e.py:363-368)."""
+        import flax.linen as nn
+
+        sample = example_input(self.model_config, self.data_config, batch_size=1)
+        try:
+            table = nn.tabulate(
+                self.model, jax.random.PRNGKey(0),
+                compute_flops=False, compute_vjp_flops=False,
+            )(sample, train=False)
+            logging.info("\n" + table)
+        except Exception:
+            # fallback: flat param-count table
+            logging.exception("nn.tabulate failed; printing param counts")
+            for top, sub in self.params.items():
+                n = sum(x.size for x in jax.tree_util.tree_leaves(sub))
+                logging.info(f"  {top}: {n / 1e6:.3f}M params")
+
     def finalize(self) -> None:
         self.tracker.finish()
