@@ -39,6 +39,51 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.array(devices), axis_names=("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int,
+                 devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """2-D (data, model) mesh for hybrid DP x prototype-TP."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data * n_model > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} "
+                         f"devices, have {len(devices)}")
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def prototype_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Hybrid-parallel param placement: the prototype dimension P shards
+    over the ``model`` axis (prototype_vectors rows, readout kernel rows,
+    occurrence module's final kernel columns); everything else replicates.
+
+    The prototype head is tiny relative to the backbone, so this is a
+    scaling DEMONSTRATION of GSPMD-propagated tensor parallelism more than
+    a perf lever — the backbone stays replicated and batch-sharded, which
+    SURVEY.md §5.7 identifies as the right scaling axis for this family.
+    """
+    repl = NamedSharding(mesh, P())
+    model_rows = NamedSharding(mesh, P("model"))
+    model_cols = NamedSharding(mesh, P(None, "model"))
+
+    occ_final = None
+    if "occurrence_module" in params:
+        occ_final = sorted(k for k in params["occurrence_module"]
+                           if k.startswith("Dense"))[-1]
+
+    def assign(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if keys[0] == "prototype_vectors":
+            return model_rows
+        if keys[0] == "last_layer" and keys[-1] == "kernel":
+            return model_rows
+        if (keys[0] == "occurrence_module" and occ_final is not None
+                and keys[1] == occ_final and keys[-1] == "kernel"):
+            return model_cols
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

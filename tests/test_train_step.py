@@ -130,3 +130,35 @@ def test_sharded_train_step_on_mesh(setup):
     new_st, m = train_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
     assert np.isfinite(float(m["loss_all"]))
     assert m["logits"].shape == (8, 4)
+
+
+def test_hybrid_dp_tp_mesh(setup):
+    """2-D (data, model) mesh: prototype dimension sharded over 'model'."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protoasnet_tpu.parallel.mesh import make_mesh_2d, prototype_param_shardings
+    from protoasnet_tpu.train.steps import TrainState
+    from protoasnet_tpu.train.optim import make_adam
+
+    model, state, (train_step, eval_step, push_step) = setup
+    mesh = make_mesh_2d(4, 2)
+    p_shard = prototype_param_shardings(state.params, mesh)
+    # prototype rows sharded over model axis
+    assert p_shard["prototype_vectors"].spec == P("model")
+    assert p_shard["last_layer"]["Dense_0"]["kernel"].spec == P("model")
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    st = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        acc=jax.device_put(state.acc, repl),
+    )
+    rng = np.random.default_rng(7)
+    x, y, v = _batch(rng, n=8)
+    x, y, v = (jax.device_put(a, data_sh) for a in (x, y, v))
+    lrs = {g: jnp.float32(1e-4) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    new_st, m = train_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
+    assert np.isfinite(float(m["loss_all"]))
