@@ -11,7 +11,6 @@ steps), which the training smoke tests rely on.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,7 @@ with optional bfloat16 activations via ``dtype``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ map a prototype's (h, w) argmin location to an input-pixel box.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 __all__ = [
     "compute_layer_rf_info",

@@ -14,14 +14,13 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from protoasnet_tpu.data.dataset import get_as_dataloader
 from protoasnet_tpu.data.manifest import CLASS_LABELS
 from protoasnet_tpu.models.builder import build_model, example_input, init_model
-from protoasnet_tpu.parallel import make_mesh, shard_batch, replicate
+from protoasnet_tpu.parallel import make_mesh, shard_batch
 from protoasnet_tpu.tracking import make_tracker
 from protoasnet_tpu.train.metrics import EpochMetrics
 from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint

@@ -12,8 +12,7 @@ forward, 7 losses, backward, accumulation-gated step).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

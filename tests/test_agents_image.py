@@ -135,3 +135,58 @@ def test_protopnet_agents(synthetic_csv, tmp_path, agent_name):
     assert bbs, "ProtoPNet push must emit bb.npy"
     bb = np.load(bbs[-1])
     assert bb.shape[1] == 5
+
+
+def test_xprotonet_staged_agent(synthetic_csv, tmp_path):
+    """Staged XProtoNet (warm/joint/push/last, 3 optimizer states,
+    XProtoNet_Base.train parity)."""
+    cfg = _image_base(synthetic_csv, tmp_path / "staged")
+    cfg.update({
+        "agent": "XProtoNet_Base",
+        "abstain_class": True,
+        "model": {
+            "checkpoint_path": "",
+            "name": "XProtoNet",
+            "base_architecture": "resnet18",
+            "prototype_shape": "(8, 64, 1, 1)",
+            "num_classes": 4,
+        },
+    })
+    cfg["train"].update({
+        "num_train_epochs": 2,
+        "num_warm_epochs": 1,
+        "push_start": 1,
+        "push_rate": 1,
+    })
+    cfg["train"]["criterion"] = {
+        "CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.7,
+                          "ab_logitpath": "joined", "reduction": "mean"},
+        "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"},
+        "SeparationRoiFeat": {"loss_weight": 0.08, "reduction": "mean"},
+        "OrthogonalityLoss": {"loss_weight": 0.01, "mode": "per_class"},
+        "Lnorm_occurrence": {"p": 2, "loss_weight": 0.0, "reduction": "mean"},
+        "trans_occurrence": {"loss_weight": 0.0, "reduction": "mean"},
+        "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
+    }
+    cfg["train"]["optimizer"] = {
+        "name": "Adam",
+        "joint_lrs": {"cnn_backbone": 1e-4, "add_on_layers": 3e-3,
+                      "occurrence_module": 3e-3, "prototype_vectors": 3e-3},
+        "warm_lrs": {"add_on_layers": 3e-3, "prototype_vectors": 3e-3},
+        "last_layer_lr": 1e-4,
+    }
+    cfg["train"]["lr_schedule"] = {"name": "ReduceLROnPlateau", "mode": "max",
+                                   "factor": 0.5, "patience": 2,
+                                   "threshold": 1e-4, "cooldown": 0,
+                                   "min_lr": 1e-6}
+    agent = build_agent(cfg)
+    agent.train()
+    # staged checkpoint holds all 3 optimizer states and roundtrips
+    st = agent.get_state()
+    assert all(f"opt_state_{s}" in st for s in ("warm", "joint", "last"))
+    import os
+    cfg["model"]["checkpoint_path"] = os.path.join(agent.save_dir, "last.ckpt")
+    agent2 = build_agent(cfg)
+    assert agent2.current_epoch == agent.current_epoch
+    accu, f1, auc = agent2.evaluate(mode="test")
+    assert 0 <= f1 <= 1
