@@ -34,6 +34,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--suite", action="store_true",
+                    help="also bench image model + push scan; writes "
+                         "BENCH_DETAIL.json")
     # batch 32 is the measured single-chip throughput sweet spot (474 clips/s
     # fp32, 542 bf16; batch 8 gives 412). Larger batches choke on the
     # ~600 MB host->device staging through this environment's relay.
@@ -151,6 +154,9 @@ def main():
         log(f"train: {train_cps:.2f} clips/s ({per_step * 1000:.1f} ms/step)")
         result["train_clips_per_sec"] = train_cps
 
+    if args.suite:
+        result.update(_suite_benches(args, rng))
+
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -162,12 +168,98 @@ def main():
             vs_baseline = infer_cps / ref
             log(f"torch-CPU baseline: {ref:.4f} clips/s -> {vs_baseline:.1f}x")
 
+    if args.suite:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump({k: round(v, 3) for k, v in result.items()}, f, indent=2)
+        log(f"wrote {detail_path}: {result}")
+
     print(json.dumps({
         "metric": "protoasnet_video_infer_clips_per_sec",
         "value": round(infer_cps, 3),
         "unit": "clips/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
     }))
+
+
+def _suite_benches(args, rng):
+    """Image-model inference + video push-scan throughputs (the remaining
+    BASELINE.json config entries)."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    out = {}
+
+    # --- Image ProtoASNet (resnet18, 224^2, eval batch 128)
+    icfg = {"name": "XProtoNet", "base_architecture": "resnet18",
+            "prototype_shape": (40, 512, 1, 1), "num_classes": 4,
+            "img_size": 224}
+    imodel = build_model(icfg)
+    ib = 128
+    ix = jnp.asarray(rng.normal(size=(ib, 224, 224, 3)).astype(np.float32))
+    iparams, istats = init_model(imodel, ix[:1], seed=0)
+    ivars = {"params": iparams, "batch_stats": istats}
+
+    @jax.jit
+    def ichained(v, x, n):
+        def body(i, xc):
+            return xc + 1e-6 * imodel.apply(v, xc, train=False)[0].sum()
+        return jax.lax.fori_loop(0, n, body, x).sum()
+
+    float(ichained(ivars, ix, 1))
+    n1, n2 = (2, 6) if args.quick else (3, 13)
+    t0 = _time.time(); float(ichained(ivars, ix, n1)); t1 = _time.time() - t0
+    t0 = _time.time(); float(ichained(ivars, ix, n2)); t2 = _time.time() - t0
+    per = (t2 - t1) / (n2 - n1)
+    out["image_infer_imgs_per_sec"] = ib / per
+    log(f"image inference: {ib / per:.1f} imgs/s ({per * 1000:.2f} ms/batch-{ib})")
+
+    # --- Push scan over a synthetic train set (video model, no rendering)
+    from protoasnet_tpu.data.dataset import get_as_dataloader
+    from protoasnet_tpu.data.synthetic import make_synthetic_dataset
+    from protoasnet_tpu.losses.bundle import LossBundle
+    from protoasnet_tpu.push.push import push_prototypes
+    from protoasnet_tpu.train.optim import make_adam
+    from protoasnet_tpu.train.steps import make_xprotonet_steps
+
+    vcfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+            "backbone_last_layer_num": -3, "prototype_shape": (40, 256, 1, 1, 1),
+            "num_classes": 4, "img_size": 112}
+    vmodel = build_model(vcfg)
+    vx = jnp.zeros((1, 32, 112, 112, 3))
+    vparams, vstats = init_model(vmodel, vx, seed=0)
+    bundle = LossBundle({}, 4, True)
+    tx = make_adam(params=vparams)
+    _, _, push_step = make_xprotonet_steps(vmodel, bundle, tx)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        csv = make_synthetic_dataset(tmp, num_videos=40, height=112, width=112,
+                                     min_frames=32, max_frames=48, seed=0,
+                                     splits=("train",))
+        dcfg = {"data_info_file": csv, "view": "all", "sample_size": None,
+                "sampler": "random", "augmentation": False, "normalize": True,
+                "img_size": 112, "frames": 32, "batch_size": 8,
+                "iterate_intervals": False, "interval_unit": "image",
+                "interval_quant": 32.0}
+        loader = get_as_dataloader(dcfg, "train", "push", seed=0)
+        n_clips = len(loader.dataset)
+        t0 = _time.time()
+        push_prototypes(loader, push_step, vparams, vstats,
+                        class_identity=vmodel.class_identity(),
+                        abstain_class=True, render=False,
+                        root_dir_for_saving_prototypes=None,
+                        replace_prototypes=True)
+        dt = _time.time() - t0
+        out["push_scan_clips_per_sec"] = n_clips / dt
+        log(f"push scan: {n_clips} clips in {dt:.1f}s -> "
+            f"{n_clips / dt:.1f} clips/s (incl. compile + host loop)")
+    return out
 
 
 if __name__ == "__main__":

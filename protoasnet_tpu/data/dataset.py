@@ -234,6 +234,7 @@ class ASClipDataset:
         return {
             "clip_u8": clips,
             "t_len": t_len,
+            "video_idx": vids,
             "target_AS": target,
             "interval_idx": interval_idx,
             "window_start": w_start,

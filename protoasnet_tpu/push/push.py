@@ -67,6 +67,32 @@ def batch_winners(dist, occ, roi, gt, valid, class_id, class_specific):
                           jnp.asarray(class_id), jnp.asarray(class_specific))
 
 
+@jax.jit
+def _update_carry(carry, dist, occ, roi, logits, gt, valid, batch_id,
+                  class_id, class_specific):
+    """Fold one batch into the running per-prototype best — entirely on
+    device, so the scan loop never synchronizes with the host (each host
+    round trip through the TPU relay costs ~0.3-0.5 s)."""
+    b_dist, b_idx, b_roi, b_occ = _batch_winners(
+        dist, occ, roi, gt, valid, class_id, class_specific
+    )
+    better = b_dist <= carry["dist"]  # <= : tie keeps the LATEST (ref parity)
+
+    def sel(new, old):
+        shape = (-1,) + (1,) * (new.ndim - 1)
+        return jnp.where(better.reshape(shape), new, old)
+
+    return {
+        "dist": jnp.where(better, b_dist, carry["dist"]),
+        "roi": sel(b_roi, carry["roi"]),
+        "occ": sel(b_occ, carry["occ"]),
+        "logits": sel(logits[b_idx], carry["logits"]),
+        "gt": jnp.where(better, gt[b_idx], carry["gt"]),
+        "batch_id": jnp.where(better, batch_id, carry["batch_id"]),
+        "sample_idx": jnp.where(better, b_idx, carry["sample_idx"]),
+    }
+
+
 def push_prototypes(
     dataloader,
     push_step,  # jitted fn(params, batch_stats, cine) -> (roi, dist, occ, logits)
@@ -98,57 +124,92 @@ def push_prototypes(
         per_class = p // k
         proto_class_specific[k_real * per_class : p] = False
 
-    d = None
-    best_dist = np.full(p, np.inf, dtype=np.float64)
-    best_roi: Dict[int, np.ndarray] = {}
-    best_occ: Dict[int, np.ndarray] = {}
-    best_logits: Dict[int, np.ndarray] = {}
-    best_gt = np.full(p, -1, dtype=np.int32)
-    best_meta: Dict[int, Dict[str, Any]] = {}
-
     class_id_dev = jnp.asarray(proto_class_id)
     class_spec_dev = jnp.asarray(proto_class_specific)
 
-    for batch in dataloader:
+    # device-resident running best: the scan dispatches asynchronously and
+    # synchronizes with the host exactly ONCE at the end
+    carry = None
+    batch_meta = []  # host window metadata per batch, indexed by batch_id
+    for batch_id, batch in enumerate(dataloader):
         if shard_fn is not None:
             batch = shard_fn(batch)
-        cine = batch["cine"]
-        roi, dist, occ, logits = push_step(params, batch_stats, cine)
+        roi, dist, occ, logits = push_step(params, batch_stats, batch["cine"])
         valid = jnp.asarray(np.asarray(batch["valid"]))
-        gt = jnp.asarray(np.asarray(batch["target_AS"]))
-        b_dist, b_idx, b_roi, b_occ = batch_winners(
-            dist, occ, roi, gt, valid, class_id_dev, class_spec_dev
-        )
-        b_dist = np.asarray(b_dist)
-        b_idx = np.asarray(b_idx)
-        b_roi = np.asarray(b_roi)
-        b_occ = np.asarray(b_occ)
-        logits_h = np.asarray(logits)
-        gt_h = np.asarray(batch["target_AS"])
-        improved = b_dist <= best_dist  # <= matches reference tie-keep-latest
-        for j in np.nonzero(improved)[0]:
-            a = int(b_idx[j])
-            best_dist[j] = b_dist[j]
-            best_roi[j] = b_roi[j]
-            best_occ[j] = b_occ[j]
-            best_logits[j] = logits_h[a]
-            best_gt[j] = gt_h[a]
-            best_meta[j] = {
-                "filename": batch["filename"][a],
-                "video_idx": None,  # resolved via filename below
-                "window_start": int(batch["window_start"][a]),
-                "window_end": int(batch["window_end"][a]),
-                "t_len": int(batch["t_len"][a]),
-                "clip_u8": None,
-                "item_clip": np.asarray(cine[a]),  # normalized model input
+        gt = jnp.asarray(np.asarray(batch["target_AS"]).astype(np.int32))
+        if carry is None:
+            k_logits = logits.shape[-1]
+            carry = {
+                "dist": jnp.full((p,), jnp.inf, jnp.float32),
+                "roi": jnp.zeros(roi.shape[1:], jnp.float32),
+                "occ": jnp.zeros((p,) + occ.shape[1:-1], jnp.float32),
+                "logits": jnp.zeros((p, k_logits), jnp.float32),
+                "gt": jnp.full((p,), -1, jnp.int32),
+                "batch_id": jnp.full((p,), -1, jnp.int32),
+                "sample_idx": jnp.full((p,), -1, jnp.int32),
             }
-        d = b_roi.shape[-1]
+        carry = _update_carry(carry, dist, occ, roi, logits, gt, valid,
+                              jnp.int32(batch_id), class_id_dev, class_spec_dev)
+        batch_meta.append({
+            "filename": list(batch["filename"]),
+            "video_idx": np.asarray(batch["video_idx"]),
+            "window_start": np.asarray(batch["window_start"]),
+            "window_end": np.asarray(batch["window_end"]),
+        })
 
-    found = [j for j in range(p) if j in best_meta]
+    if carry is None:
+        raise ValueError("push dataloader yielded no batches")
+    host = jax.device_get(carry)  # the single host sync of the scan
+    best_dist = host["dist"].astype(np.float64)
+    best_gt = host["gt"]
+    found = [j for j in range(p) if host["batch_id"][j] >= 0]
+    best_roi = {j: host["roi"][j] for j in found}
+    best_occ = {j: host["occ"][j] for j in found}
+    best_logits = {j: host["logits"][j] for j in found}
+    best_meta: Dict[int, Dict[str, Any]] = {}
+    for j in found:
+        bm = batch_meta[int(host["batch_id"][j])]
+        a = int(host["sample_idx"][j])
+        best_meta[j] = {
+            "filename": bm["filename"][a],
+            "video_idx": int(bm["video_idx"][a]),
+            "window_start": int(bm["window_start"][a]),
+            "window_end": int(bm["window_end"][a]),
+        }
     logging.info(
         f"push: scanned dataset in {time.time() - t0:.1f}s; "
         f"{len(found)}/{p} prototypes matched"
     )
+
+    # re-assemble the winning source clips (deterministic: push mode never
+    # augments), deduplicated across prototypes sharing a winner
+    dataset = getattr(dataloader, "dataset", None)
+    preprocess = getattr(dataloader, "preprocess", None)
+    if found and dataset is not None and preprocess is not None:
+        keys = {}
+        for j in found:
+            m = best_meta[j]
+            keys.setdefault(
+                (m["video_idx"], m["window_start"], m["window_end"]), []
+            ).append(j)
+        uniq = list(keys)
+        t_max = dataset.t_max
+        s = dataset.img_size
+        clips_u8 = np.zeros((len(uniq), t_max, s, s), np.uint8)
+        t_lens = np.zeros(len(uniq), np.int32)
+        for i, (vid, start, end) in enumerate(uniq):
+            win = dataset.store.window(vid, start, end)
+            clips_u8[i, : win.shape[0]] = win
+            t_lens[i] = win.shape[0]
+        winner_clips = np.asarray(preprocess(clips_u8, t_lens, None))
+        for i, key in enumerate(uniq):
+            for j in keys[key]:
+                best_meta[j]["item_clip"] = winner_clips[i]
+    else:
+        for j in found:
+            best_meta[j].setdefault(
+                "item_clip", np.zeros((1, 1, 1, 3), np.float32)
+            )
 
     # ---- assemble the pickle payload (reference layouts, channels-first)
     def to_ref_img(clip: np.ndarray) -> np.ndarray:
