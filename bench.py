@@ -121,6 +121,9 @@ def main():
             "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
             "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
         }
+        # train bench at batch <= 8: batch-32 fwd+bwd activations don't fit
+        b = min(b, 8)
+        x = x[:b]
         bundle = LossBundle(criterion, num_classes=4, abstain_class=True)
         tx = make_adam(weight_decay_by_group={g: 1e-3 for g in GROUPS},
                        params=params)

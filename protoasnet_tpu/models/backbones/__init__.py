@@ -21,13 +21,14 @@ from protoasnet_tpu.models.backbones.densenet import (  # noqa: F401
     DenseNetFeatures,
 )
 from protoasnet_tpu.models.backbones.vgg import VGG_CFGS, VGGFeatures  # noqa: F401
+from protoasnet_tpu.models.backbones.r3d import R3D18  # noqa: F401
 
 BACKBONE_NAMES = (
     tuple(RESNET_SPECS)
     + tuple(DENSENET_SPECS)
     + tuple(VGG_CFGS)
     + tuple(f"{v}_bn" for v in VGG_CFGS)
-    + ("resnet2p1d_18",)
+    + ("resnet2p1d_18", "r3d_18")
 )
 
 
@@ -37,6 +38,8 @@ def make_backbone(name: str, dtype: Any = jnp.float32, last_layer_num: int = -3,
     and, for 2-D trunks, .conv_info())."""
     if name == "resnet2p1d_18":
         return R2Plus1D18(last_layer_num=last_layer_num, dtype=dtype, remat=remat)
+    if name == "r3d_18":
+        return R3D18(last_layer_num=last_layer_num, dtype=dtype)
     if name in RESNET_SPECS:
         return ResNetFeatures(block_name=name, dtype=dtype)
     if name in DENSENET_SPECS:

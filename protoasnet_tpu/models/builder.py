@@ -47,8 +47,10 @@ def build_model(model_config: Dict[str, Any], dtype=None):
             dtype=dtype,
         )
     if name in ("XProtoNet", "Video_XProtoNet"):
-        if name == "Video_XProtoNet" and base_arch != "resnet2p1d_18":
-            raise ValueError("Video_XProtoNet requires base_architecture=resnet2p1d_18")
+        if name == "Video_XProtoNet" and base_arch not in ("resnet2p1d_18", "r3d_18"):
+            raise ValueError(
+                "Video_XProtoNet requires a video backbone "
+                "(resnet2p1d_18 or r3d_18)")
         return XProtoNet(
             prototype_shape=shape,
             num_classes=num_classes,

@@ -61,7 +61,7 @@ class XProtoNet(nn.Module):
 
     @property
     def is_video(self) -> bool:
-        return self.base_architecture == "resnet2p1d_18"
+        return self.base_architecture in ("resnet2p1d_18", "r3d_18")
 
     def class_identity(self):
         return prototype_class_identity(self.num_prototypes, self.num_classes)

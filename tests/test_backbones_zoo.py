@@ -64,3 +64,23 @@ def test_protopnet_with_densenet_backbone():
     logits, min_d = model.apply({"params": params, "batch_stats": stats},
                                 x, train=False)
     assert logits.shape == (1, 3)
+
+
+def test_r3d18_backbone():
+    m = make_backbone("r3d_18", last_layer_num=-3)
+    assert m.out_channels == 256
+    x = jnp.zeros((1, 8, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 2, 4, 4, 256)  # T/4, H/8 like r2p1d[-3]
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "r3d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 64, 1, 1, 1),
+           "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    params, stats = init_model(model, x, seed=0)
+    logits, sim, occ = model.apply({"params": params, "batch_stats": stats},
+                                   x, train=False)
+    assert logits.shape == (1, 4)
