@@ -13,6 +13,7 @@ import os
 import time
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -69,6 +70,7 @@ class _ProtoPNetCommon(BaseAgent):
             else:
                 m = eval_step(self.params, self.batch_stats, batch["cine"],
                               target, valid, rng)
+            m = jax.device_get(m)  # one host sync per step
             loss_terms = {k: float(v) for k, v in m.items() if k.startswith("loss")}
             metrics.update(m["logits"], batch["target_AS"], batch["valid"],
                            similarities=None, loss_terms=loss_terms)

@@ -136,6 +136,9 @@ class _XProtoNetAgentCommon(BaseAgent):
                                   target, valid, rng)
 
             with timer.phase("host_metrics"):
+                # ONE device->host sync per step (each transfer through the
+                # TPU relay costs a full round trip)
+                m = jax.device_get(m)
                 loss_terms = {k: float(v) for k, v in m.items()
                               if k.startswith("loss")}
                 batch_stats = metrics.update(

@@ -144,6 +144,8 @@ class EpochMetrics:
         try:
             auc = roc_auc_score(y_true, y_prob, average="weighted",
                                 multi_class="ovr", labels=labels)
+            if not np.isfinite(auc):  # single-class y_true yields nan
+                auc = 0.0
         except ValueError:
             auc = 0.0
 
