@@ -64,6 +64,19 @@ class WandbTracker(Tracker):
         self._wandb = wandb
         wandb.init(project="ProtoASNet-TPU", name=run_name, mode=mode,
                    dir=save_dir, config=config)
+        # per-mode step axes + min/max summaries (reference wandb metric
+        # definitions, base.py:62-88)
+        for m in ("train", "val", "val_push", "test"):
+            wandb.define_metric(f"batch_{m}/step")
+            wandb.define_metric(f"batch_{m}/*", step_metric=f"batch_{m}/step")
+        wandb.define_metric("epoch")
+        for m in ("train", "val", "val_push", "test"):
+            wandb.define_metric(f"epoch/{m}/f1_mean", step_metric="epoch",
+                                summary="max")
+            wandb.define_metric(f"epoch/{m}/AUC_mean", step_metric="epoch",
+                                summary="max")
+            wandb.define_metric(f"epoch/{m}/loss_all", step_metric="epoch",
+                                summary="min")
 
     def log(self, data: Dict[str, Any]) -> None:
         self._wandb.log(data)

@@ -1,0 +1,49 @@
+"""Serving export roundtrip: serialized StableHLO artifact reproduces the
+live model's logits at multiple batch sizes (symbolic batch dim)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from protoasnet_tpu.models.builder import build_model, init_model
+from protoasnet_tpu.serve import (
+    export_inference,
+    load_exported,
+    load_serving_bundle,
+    save_serving_bundle,
+)
+
+
+def _small_model():
+    cfg = {"name": "XProtoNet", "base_architecture": "resnet18",
+           "prototype_shape": (8, 64, 1, 1), "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    params, stats = init_model(model, x, seed=0)
+    return model, params, stats
+
+
+def test_export_roundtrip_multiple_batch_sizes():
+    model, params, stats = _small_model()
+    blob = export_inference(model, params, stats, (32, 32, 3))
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+    fn = load_exported(bytes(blob))
+    variables = {"params": params, "batch_stats": stats}
+    rng = np.random.default_rng(0)
+    for b in (1, 3, 5):
+        x = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+        got = np.asarray(fn(variables, x))
+        want = np.asarray(model.apply(variables, x, train=False)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_bundle_file(tmp_path):
+    model, params, stats = _small_model()
+    path = str(tmp_path / "model.bundle")
+    save_serving_bundle(path, model, params, stats, (32, 32, 3))
+    fn = load_serving_bundle(path)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    got = np.asarray(fn(x))
+    want = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  x, train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
