@@ -129,12 +129,48 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
         os.replace(paths[0], out_base + ".png")
 
 
+def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
+    """Standalone input_overlaid/ and prototype-ranked occurrence videos
+    (reference local_explainability.py:190-250): the input clip overlaid
+    with its TOP prototype's occurrence heatmap."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    j = int(np.argmax(contribution))
+    occ_j = np.moveaxis(occ, -1, 0)[j]
+    img = np.clip(clip_norm * NORM_STD + NORM_MEAN, 0, 1)
+    up = upsample_occurrence_map(occ_j[None], img.shape[:-1])
+    up = (up - up.min()) / (up.max() - up.min() + 1e-7)
+    out_dir = os.path.join(out_root, "input_overlaid")
+    makedir(out_dir)
+    video = img.ndim == 4
+    frames = range(img.shape[0]) if video else [None]
+    paths = []
+    for t in frames:
+        cur = img[t] if video else img
+        cur_up = up[t] if video else up
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.imshow(np.clip(0.5 * cur + 0.3 * make_heatmap(cur_up), 0, 1))
+        ax.axis("off")
+        p = os.path.join(out_dir, f"{sample_id:04d}_{t or 0}.png")
+        plt.savefig(p, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    if video and len(paths) > 1:
+        if write_video(paths, os.path.join(out_dir, f"{sample_id:04d}.mp4"), 5):
+            remove_images(paths)
+
+
 def explain_local(agent, mode: str = "test", top_k: int = 3,
                   max_samples: Optional[int] = None) -> None:
     """Render local explanations for the eval set.
 
     top_k prototypes per sample by contribution; ``max_samples`` caps the
-    rendering volume (None = all, the reference behavior).
+    rendering volume (None = all, the reference behavior). Set config
+    ``explain_separate_overlays: true`` for the reference's standalone
+    input_overlaid/ videos in addition to the combined panels.
     """
     save_dir = agent.save_dir
     out_dir = os.path.join(save_dir, f"explain_{mode}")
@@ -174,6 +210,12 @@ def explain_local(agent, mode: str = "test", top_k: int = 3,
         contribution = sims[i] * fc[:, pred_class]  # (P,)
         order = np.argsort(-contribution)[:top_k]
         clip = products["clips"][i]
+        if agent.config.get("explain_separate_overlays", False):
+            try:
+                _separate_overlays(clip, products["occurrence_maps"][i],
+                                   contribution, out_dir, i)
+            except Exception:
+                logging.exception(f"separate overlay failed for sample {i}")
         for rank, j in enumerate(order):
             occ_j = np.moveaxis(products["occurrence_maps"][i], -1, 0)[j]
             p_img = p_occ = None

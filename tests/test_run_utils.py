@@ -1,0 +1,57 @@
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from protoasnet_tpu.tracking.trackers import JsonlTracker
+from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint
+from protoasnet_tpu.utils.run import create_save_loc
+
+
+def test_create_save_loc_increments_without_ckpt(tmp_path):
+    cfg = {"save_dir": str(tmp_path), "run_name": "exp"}
+    create_save_loc(cfg)
+    first = cfg["save_dir"]
+    assert first.endswith("exp")
+    # dir exists without a checkpoint -> next run gets a suffix
+    cfg2 = {"save_dir": str(tmp_path), "run_name": "exp"}
+    create_save_loc(cfg2)
+    assert cfg2["save_dir"].endswith("exp_1")
+
+
+def test_create_save_loc_reuses_with_ckpt(tmp_path):
+    cfg = {"save_dir": str(tmp_path), "run_name": "exp"}
+    create_save_loc(cfg)
+    open(os.path.join(cfg["save_dir"], "last.ckpt"), "wb").write(b"x")
+    cfg2 = {"save_dir": str(tmp_path), "run_name": "exp"}
+    create_save_loc(cfg2)
+    assert cfg2["save_dir"] == cfg["save_dir"]  # resume the same dir
+
+
+def test_checkpoint_io_roundtrip(tmp_path):
+    state = {
+        "epoch": 3,
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "best": 0.5,
+    }
+    path = str(tmp_path / "s.ckpt")
+    save_checkpoint(state, path)
+    restored = load_checkpoint(path, target={
+        "epoch": 0, "params": {"w": jnp.zeros((2, 3))}, "best": 0.0})
+    assert restored["epoch"] == 3
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    # raw restore without target
+    raw = load_checkpoint(path)
+    assert raw["epoch"] == 3
+
+
+def test_jsonl_tracker(tmp_path):
+    t = JsonlTracker(str(tmp_path))
+    t.log({"a": 1.0, "b": jnp.float32(2.5), "name": "x"})
+    t.log({"a": 2})
+    t.finish()
+    rows = [json.loads(line) for line in open(t.path)]
+    assert rows[0]["a"] == 1.0 and rows[0]["b"] == 2.5 and rows[0]["name"] == "x"
+    assert rows[1]["a"] == 2.0
