@@ -129,3 +129,25 @@ def test_checkpoint_roundtrip(trained_agent, synthetic_csv, tmp_path):
         next(iter(agent2.params["last_layer"].values()))["kernel"])
     assert l1.shape == (8, 4)
     assert agent2.current_epoch == agent.current_epoch
+
+
+def test_explain_local_renders(trained_agent):
+    """explain_local end-to-end on the trained agent (1 sample, 1 proto)."""
+    from protoasnet_tpu.explain.local import explain_local
+
+    agent = trained_agent
+    agent.config["explain_separate_overlays"] = True
+    explain_local(agent, mode="test", top_k=1, max_samples=1)
+    out = os.path.join(agent.save_dir, "explain_test")
+    files = os.listdir(out)
+    assert "model_products.pickle" in files
+    assert any(f.startswith("0000_rank0") for f in files)
+    assert os.path.isdir(os.path.join(out, "input_overlaid"))
+
+
+def test_get_sim_scores_roundtrip(trained_agent):
+    agent = trained_agent
+    agent.get_sim_scores(mode="val")
+    sims, targets = agent.load_sim_scores(agent.current_epoch, "val")
+    assert sims.ndim == 2 and sims.shape[1] == agent.model.num_prototypes
+    assert len(sims) == len(targets)
