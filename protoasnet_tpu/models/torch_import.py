@@ -118,6 +118,73 @@ def convert_r2plus1d(sd: Dict[str, Any], num_stages: int = 3
     return params, stats
 
 
+def convert_vgg(sd: Dict[str, Any], variant: str = "vgg16") -> Tuple[Dict, Dict]:
+    """torchvision vgg*(_bn) features state dict -> (params, batch_stats)
+    matching VGGFeatures (keys features.{i}.weight over the Sequential)."""
+    from protoasnet_tpu.models.backbones.vgg import VGG_CFGS
+
+    cfg = VGG_CFGS[variant.replace("_bn", "")]
+    bn = variant.endswith("_bn")
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    seq = 0  # torchvision Sequential index
+    conv_idx = 0
+    for v in cfg:
+        if v == "M":
+            seq += 1
+            continue
+        conv = {"kernel": _conv(sd[f"features.{seq}.weight"])}
+        if not bn:
+            conv["bias"] = np.asarray(sd[f"features.{seq}.bias"])
+        params[f"conv{conv_idx}"] = conv
+        seq += 1
+        if bn:
+            bnp, bns = _bn(sd, f"features.{seq}")
+            params[f"bn{conv_idx}"] = bnp
+            stats[f"bn{conv_idx}"] = bns
+            seq += 1
+        seq += 1  # ReLU
+        conv_idx += 1
+    return params, stats
+
+
+def convert_densenet(sd: Dict[str, Any], variant: str = "densenet121"
+                     ) -> Tuple[Dict, Dict]:
+    """torchvision densenet features state dict -> trees matching
+    DenseNetFeatures."""
+    from protoasnet_tpu.models.backbones.densenet import DENSENET_SPECS
+
+    _, _, blocks = DENSENET_SPECS[variant]
+    params: Dict[str, Any] = {
+        "conv0": {"kernel": _conv(sd["features.conv0.weight"])}}
+    stats: Dict[str, Any] = {}
+    p, s = _bn(sd, "features.norm0")
+    params["norm0"], stats["norm0"] = p, s
+    for i, n_layers in enumerate(blocks):
+        for j in range(n_layers):
+            t = f"features.denseblock{i + 1}.denselayer{j + 1}"
+            f = f"denseblock{i + 1}_layer{j + 1}"
+            lp: Dict[str, Any] = {}
+            ls: Dict[str, Any] = {}
+            for c in (1, 2):
+                bnp, bns = _bn(sd, f"{t}.norm{c}")
+                lp[f"norm{c}"] = bnp
+                ls[f"norm{c}"] = bns
+                lp[f"conv{c}"] = {"kernel": _conv(sd[f"{t}.conv{c}.weight"])}
+            params[f] = lp
+            stats[f] = ls
+        if i != len(blocks) - 1:
+            t = f"features.transition{i + 1}"
+            f = f"transition{i + 1}"
+            bnp, bns = _bn(sd, f"{t}.norm")
+            params[f] = {"norm": bnp,
+                         "conv": {"kernel": _conv(sd[f"{t}.conv.weight"])}}
+            stats[f] = {"norm": bns}
+    p, s = _bn(sd, "features.norm5")
+    params["norm5"], stats["norm5"] = p, s
+    return params, stats
+
+
 def _find_weights(arch: str) -> Optional[str]:
     roots = [os.environ.get("PROTOASNET_PRETRAINED_DIR", ""),
              "pretrained_models", os.path.expanduser("~/pretrained_models")]
@@ -162,6 +229,12 @@ def load_pretrained_backbone(params, batch_stats, model_config: Dict[str, Any]):
         sub = "cnn_backbone"
     elif arch in RESNET_SPECS:
         bp, bs = convert_resnet2d(sd, arch)
+        sub = "cnn_backbone" if "cnn_backbone" in params else "features"
+    elif arch.replace("_bn", "").startswith("vgg"):
+        bp, bs = convert_vgg(sd, arch)
+        sub = "cnn_backbone" if "cnn_backbone" in params else "features"
+    elif arch.startswith("densenet"):
+        bp, bs = convert_densenet(sd, arch)
         sub = "cnn_backbone" if "cnn_backbone" in params else "features"
     else:
         logging.warning(f"no torch importer for {arch!r}; keeping random init")

@@ -175,3 +175,121 @@ def test_load_pretrained_backbone_from_file(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(new_params["prototype_vectors"]),
         np.asarray(params["prototype_vectors"]))
+
+
+class TVVGG(nn.Module):
+    """torchvision-layout VGG features (Sequential under .features)."""
+
+    def __init__(self, cfg, bn=False):
+        super().__init__()
+        layers = []
+        cin = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(cin, v, 3, padding=1, bias=not bn))
+                if bn:
+                    layers.append(nn.BatchNorm2d(v))
+                layers.append(nn.ReLU())
+                cin = v
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["vgg11", "vgg11_bn"])
+def test_vgg_import_forward_parity(variant):
+    from protoasnet_tpu.models.backbones.vgg import VGG_CFGS, VGGFeatures
+    from protoasnet_tpu.models.torch_import import convert_vgg
+
+    torch.manual_seed(3)
+    tv = TVVGG(VGG_CFGS["vgg11"], bn=variant.endswith("_bn")).eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_vgg(sd, variant)
+    model = VGGFeatures(variant=variant)
+    x = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tv(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+class TVDenseLayer(nn.Module):
+    def __init__(self, cin, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        y = self.conv1(self.relu(self.norm1(x)))
+        y = self.conv2(self.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+def test_densenet_import_forward_parity():
+    """Golden vs a torchvision-layout densenet121 features trunk."""
+    from protoasnet_tpu.models.backbones.densenet import (
+        DENSENET_SPECS,
+        DenseNetFeatures,
+    )
+    from protoasnet_tpu.models.torch_import import convert_densenet
+
+    torch.manual_seed(4)
+    init_f, growth, blocks = DENSENET_SPECS["densenet121"]
+
+    feats = nn.Module()
+    feats.conv0 = nn.Conv2d(3, init_f, 7, 2, 3, bias=False)
+    feats.norm0 = nn.BatchNorm2d(init_f)
+    c = init_f
+    for i, n in enumerate(blocks):
+        block = nn.Module()
+        for j in range(n):
+            setattr(block, f"denselayer{j + 1}", TVDenseLayer(c + j * growth, growth))
+        setattr(feats, f"denseblock{i + 1}", block)
+        c += n * growth
+        if i != len(blocks) - 1:
+            tr = nn.Module()
+            tr.norm = nn.BatchNorm2d(c)
+            tr.conv = nn.Conv2d(c, c // 2, 1, bias=False)
+            setattr(feats, f"transition{i + 1}", tr)
+            c //= 2
+    feats.norm5 = nn.BatchNorm2d(c)
+
+    root = nn.Module()
+    root.features = feats
+    root.eval()
+    sd = {k: v.numpy() for k, v in root.state_dict().items()}
+    params, stats = convert_densenet(sd, "densenet121")
+
+    def torch_forward(x):
+        relu, pool = nn.functional.relu, nn.functional
+        y = relu(feats.norm0(feats.conv0(x)))
+        y = nn.functional.max_pool2d(y, 3, 2, 1)
+        for i in range(len(blocks)):
+            block = getattr(feats, f"denseblock{i + 1}")
+            for j in range(blocks[i]):
+                y = getattr(block, f"denselayer{j + 1}")(y)
+            if i != len(blocks) - 1:
+                tr = getattr(feats, f"transition{i + 1}")
+                y = nn.functional.avg_pool2d(tr.conv(relu(tr.norm(y))), 2, 2)
+        return relu(feats.norm5(y))
+
+    model = DenseNetFeatures(variant="densenet121")
+    x = np.random.default_rng(4).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = torch_forward(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=1e-3)
