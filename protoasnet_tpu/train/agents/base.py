@@ -163,6 +163,15 @@ class BaseAgent:
                 self.save_dir, f"{model_name}_f1-{metric:.4f}.ckpt"))
 
     def load_checkpoint_file(self, path: Optional[str]) -> None:
+        """Load an explicit checkpoint, or — with train.auto_resume (default
+        on) — fall back to {save_dir}/last.ckpt so preempted runs restarted
+        with the same save_dir continue where they stopped (the reference
+        resumes only via an explicit model.checkpoint_path)."""
+        if not path and self.train_config.get("auto_resume", True):
+            candidate = os.path.join(self.save_dir, "last.ckpt")
+            if os.path.exists(candidate):
+                path = candidate
+                logging.info(f"auto-resume from {candidate}")
         if not path:
             return
         if not os.path.exists(path):

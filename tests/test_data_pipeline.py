@@ -97,3 +97,18 @@ def test_temporal_resize_identity():
     out2 = np.asarray(temporal_resize(jnp.asarray(clip), jnp.int32(8), 4))
     expect = 0.5 * (clip[0] + clip[1])
     np.testing.assert_allclose(out2[0], expect, atol=1e-6)
+
+
+def test_as_weighted_sampler_balances_classes(synthetic_csv):
+    """The AS sampler draws classes near-uniformly regardless of the raw
+    class frequencies (reference class_sampler_AS semantics)."""
+    cfg = _data_config(synthetic_csv, batch=6, augment=False, sampler="AS")
+    loader = get_as_dataloader(cfg, split="all", mode="train", seed=0)
+    counts = np.zeros(3)
+    for epoch in range(6):
+        loader.set_epoch(epoch)
+        for b in loader:
+            t = np.asarray(b["target_AS"])[np.asarray(b["valid"])]
+            counts += np.bincount(t, minlength=3)
+    frac = counts / counts.sum()
+    assert frac.max() - frac.min() < 0.15, f"class draw fractions {frac}"
