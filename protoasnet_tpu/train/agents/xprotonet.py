@@ -113,6 +113,15 @@ class _XProtoNetAgentCommon(BaseAgent):
         stack = contextlib.ExitStack()
         stack.enter_context(trace(profile_dir if do_trace else None))
 
+        # on-device metric accumulation (TPU-first, SURVEY.md §5.8): outputs
+        # scatter into device buffers; ONE host transfer at epoch end.
+        # Per-batch tracker rows are skipped in this mode (epoch rows stay).
+        # val_push/test keep the host path (pred-log CSVs need per-sample
+        # metadata).
+        on_device = (bool(self.train_config.get("on_device_metrics", False))
+                     and mode not in ("val_push", "test"))
+        dev_buf = None
+
         timer = StepTimer()
         it = iter(loader)
         while True:
@@ -136,8 +145,24 @@ class _XProtoNetAgentCommon(BaseAgent):
                                   target, valid, rng)
 
             with timer.phase("host_metrics"):
-                # ONE device->host sync per step (each transfer through the
-                # TPU relay costs a full round trip)
+                if on_device:
+                    if dev_buf is None:
+                        from protoasnet_tpu.train.device_metrics import (
+                            DeviceEpochBuffer,
+                        )
+
+                        dev_buf = DeviceEpochBuffer(
+                            n_batches=epoch_steps,
+                            batch_size=m["logits"].shape[0],
+                            num_logits=m["logits"].shape[1],
+                            num_prototypes=m["similarities"].shape[1],
+                            loss_names=sorted(
+                                k for k in m if k.startswith("loss")),
+                        )
+                    dev_buf.update(m, target, valid)
+                    continue
+                # host path: ONE device->host sync per step (each transfer
+                # through the TPU relay costs a full round trip)
                 m = jax.device_get(m)
                 loss_terms = {k: float(v) for k, v in m.items()
                               if k.startswith("loss")}
@@ -156,6 +181,9 @@ class _XProtoNetAgentCommon(BaseAgent):
                         self.create_pred_log_df(batch, np.asarray(m["logits"]))
                     )
 
+        if dev_buf is not None:
+            with timer.phase("host_metrics"):
+                dev_buf.finalize(metrics)
         stack.close()
         summary = metrics.compute()
         timer.log(prefix=f"{mode} e{epoch} ")

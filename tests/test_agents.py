@@ -151,3 +151,22 @@ def test_get_sim_scores_roundtrip(trained_agent):
     sims, targets = agent.load_sim_scores(agent.current_epoch, "val")
     assert sims.ndim == 2 and sims.shape[1] == agent.model.num_prototypes
     assert len(sims) == len(targets)
+
+
+def test_on_device_metrics_matches_host(synthetic_csv, tmp_path):
+    """train.on_device_metrics accumulates on device with one host sync;
+    epoch metrics must match the per-batch host path."""
+    cfg_h = _video_config(synthetic_csv, tmp_path / "host")
+    cfg_h["train"]["num_train_epochs"] = 0  # eval only
+    agent_h = build_agent(cfg_h)
+    res_host = agent_h.run_epoch(0, mode="val")
+
+    cfg_d = _video_config(synthetic_csv, tmp_path / "dev")
+    cfg_d["train"]["num_train_epochs"] = 0
+    cfg_d["train"]["on_device_metrics"] = True
+    cfg_d["train"]["seed"] = cfg_h["train"]["seed"]
+    agent_d = build_agent(cfg_d)
+    res_dev = agent_d.run_epoch(0, mode="val")
+
+    # same init (same seed) and deterministic eval loader -> same metrics
+    np.testing.assert_allclose(res_host, res_dev, rtol=1e-5, atol=1e-6)
