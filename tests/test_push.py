@@ -71,3 +71,47 @@ def test_receptive_field_math():
     assert box[0] == 3
     assert 0 <= box[1] < box[2] <= 224
     assert 0 <= box[3] < box[4] <= 224
+
+
+def test_push_prototypes_sharded_mesh(synthetic_csv, tmp_path):
+    """Full push pipeline over an 8-device data mesh: per-batch argmin
+    spans shards inside jit; winners match the single-device scan."""
+    import jax
+    from protoasnet_tpu.losses.bundle import LossBundle
+    from protoasnet_tpu.models.builder import build_model, init_model
+    from protoasnet_tpu.data.dataset import get_as_dataloader
+    from protoasnet_tpu.parallel import make_mesh, shard_batch
+    from protoasnet_tpu.push.push import push_prototypes
+    from protoasnet_tpu.train.optim import make_adam
+    from protoasnet_tpu.train.steps import make_xprotonet_steps
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 32, 1, 1, 1),
+           "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    params, stats = init_model(model, jnp.zeros((1, 8, 32, 32, 3)), seed=0)
+    tx = make_adam(params=params)
+    _, _, push_step = make_xprotonet_steps(model, LossBundle({}, 4, True), tx)
+
+    dcfg = {"data_info_file": synthetic_csv, "view": "all", "sample_size": None,
+            "sampler": "random", "augmentation": False, "normalize": True,
+            "img_size": 32, "frames": 8, "batch_size": 8,
+            "iterate_intervals": False, "interval_unit": "cycle",
+            "interval_quant": 1.0}
+    mesh = make_mesh()
+    ident = model.class_identity()
+
+    _, info_single = push_prototypes(
+        get_as_dataloader(dcfg, "train", "push", seed=0), push_step, params,
+        stats, class_identity=ident, abstain_class=True, render=False,
+        replace_prototypes=False)
+    _, info_mesh = push_prototypes(
+        get_as_dataloader(dcfg, "train", "push", seed=0), push_step, params,
+        stats, class_identity=ident, abstain_class=True, render=False,
+        replace_prototypes=False, shard_fn=lambda b: shard_batch(mesh, b))
+
+    np.testing.assert_allclose(
+        info_single["prototypes_similarity_to_src_ROIs"],
+        info_mesh["prototypes_similarity_to_src_ROIs"], rtol=1e-5, atol=1e-6)
+    assert list(info_single["prototypes_filenames"]) == \
+        list(info_mesh["prototypes_filenames"])
