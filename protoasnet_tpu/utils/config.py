@@ -72,16 +72,24 @@ def flatten_config(cfg: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
 
 
 def _set_dotted(cfg: Dict[str, Any], dotted: str, value: Any, strict: bool = True) -> None:
+    import logging
+
     parts = dotted.split(".")
     node = cfg
     for p in parts[:-1]:
         if p not in node or not isinstance(node[p], dict):
             if strict:
                 raise KeyError(f"Unknown config section {p!r} in override --{dotted}")
+            logging.warning(f"override --{dotted} creates NEW config section "
+                            f"{p!r} (possible typo?)")
             node[p] = {}
         node = node[p]
-    if strict and parts[-1] not in node:
-        raise KeyError(f"Unknown config key {parts[-1]!r} in override --{dotted}")
+    if parts[-1] not in node:
+        if strict:
+            raise KeyError(f"Unknown config key {parts[-1]!r} in override --{dotted}")
+        if len(parts) > 1:  # new top-level flags are normal CLI surface
+            logging.warning(f"override --{dotted} sets a key absent from the "
+                            f"config file (possible typo?)")
     node[parts[-1]] = value
 
 
