@@ -44,6 +44,7 @@ def build_model(model_config: Dict[str, Any], dtype=None):
                 "prototype_activation_function", "log"
             ),
             add_on_layers_type=model_config.get("add_on_layers_type", "bottleneck"),
+            head_impl=head_impl,
             dtype=dtype,
         )
     if name in ("XProtoNet", "Video_XProtoNet"):

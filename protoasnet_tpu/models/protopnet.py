@@ -43,6 +43,7 @@ class PPNet(nn.Module):
     img_size: int = 224
     prototype_activation_function: str = "log"  # "log" | "linear"
     add_on_layers_type: str = "bottleneck"  # "bottleneck" | "regular"
+    head_impl: str = "xla"  # "xla" | "pallas" (fused dist+min kernel)
     incorrect_strength: float = -0.5
     dtype: Any = jnp.float32
 
@@ -89,15 +90,23 @@ class PPNet(nn.Module):
             f"{self.prototype_activation_function!r}"
         )
 
+    def _distances(self, conv):
+        if (self.head_impl == "pallas"
+                and self.prototype_shape[2] == self.prototype_shape[3] == 1):
+            from protoasnet_tpu.ops.pallas_l2 import l2_min_pallas
+
+            return l2_min_pallas(conv, self.prototype_vectors)
+        distances = l2_patch_distances(conv, self.prototype_vectors)
+        return distances, jnp.min(distances, axis=(1, 2))
+
     def __call__(self, x, train: bool = False):
         conv = self.conv_features(x, train=train)  # (N, H', W', D)
-        distances = l2_patch_distances(conv, self.prototype_vectors)  # (N,H,W,P)
-        min_distances = jnp.min(distances, axis=(1, 2))  # (N, P) global min pool
+        _, min_distances = self._distances(conv)  # (N, P) global min pool
         activations = self.distance_2_similarity(min_distances)
         logits = self.last_layer(activations)
         return logits, min_distances
 
     def push_forward(self, x, train: bool = False):
         conv = self.conv_features(x, train=train)
-        distances = l2_patch_distances(conv, self.prototype_vectors)
+        distances, _ = self._distances(conv)
         return conv, distances

@@ -65,3 +65,64 @@ def test_model_with_pallas_head():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_l2_min_pallas_matches_xla():
+    from protoasnet_tpu.ops.l2conv import l2_patch_distances
+    from protoasnet_tpu.ops.pallas_l2 import l2_min_pallas
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 4, 5, 16)).astype(np.float32))
+    protos = jnp.asarray(rng.normal(size=(6, 1, 1, 16)).astype(np.float32))
+    dist_p, min_p = l2_min_pallas(x, protos, interpret=True)
+    dist_x = l2_patch_distances(x, protos)
+    np.testing.assert_allclose(np.asarray(dist_p), np.asarray(dist_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(min_p),
+                               np.asarray(jnp.min(dist_x, axis=(1, 2))),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_l2_min_pallas_gradients_match_xla():
+    from protoasnet_tpu.ops.l2conv import l2_patch_distances
+    from protoasnet_tpu.ops.pallas_l2 import l2_min_pallas
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 3, 3, 8)).astype(np.float32))
+    protos = jnp.asarray(rng.normal(size=(4, 1, 1, 8)).astype(np.float32))
+
+    def loss_p(x, w):
+        dist, mind = l2_min_pallas(x, w, interpret=True)
+        return jnp.sum(jnp.log((mind + 1) / (mind + 1e-4))) + 0.01 * dist.sum()
+
+    def loss_x(x, w):
+        dist = l2_patch_distances(x, w)
+        mind = jnp.min(dist, axis=(1, 2))
+        return jnp.sum(jnp.log((mind + 1) / (mind + 1e-4))) + 0.01 * dist.sum()
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(x, protos)
+    g_x = jax.grad(loss_x, argnums=(0, 1))(x, protos)
+    np.testing.assert_allclose(np.asarray(g_p[0]), np.asarray(g_x[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_p[1]).reshape(4, 8),
+                               np.asarray(g_x[1]).reshape(4, 8),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_ppnet_with_pallas_head():
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "ProtoPNet", "base_architecture": "resnet18",
+           "prototype_shape": (6, 64, 1, 1), "num_classes": 3, "img_size": 64,
+           "add_on_layers_type": "regular"}
+    m_x = build_model(dict(cfg, head_impl="xla"))
+    m_p = build_model(dict(cfg, head_impl="pallas"))
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    params, stats = init_model(m_x, x, seed=0)
+    lx, dx = m_x.apply({"params": params, "batch_stats": stats}, x, train=False)
+    lp, dp = m_p.apply({"params": params, "batch_stats": stats}, x, train=False)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dp), rtol=1e-4,
+                               atol=1e-4)
