@@ -30,6 +30,7 @@ def _kernel(x_ref, w_ref, p2_ref, dist_ref, min_ref):
     xw = jax.lax.dot_general(
         x, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (S, P)
     x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (S, 1)
     dist = jnp.maximum(x2 - 2.0 * xw + p2_ref[:].T, 0.0)  # (S, P)

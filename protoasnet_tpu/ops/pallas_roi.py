@@ -37,6 +37,7 @@ def _kernel(occ_ref, feat_ref, proto_ref, pnorm_ref, roi_ref, sim_ref):
     roi = jax.lax.dot_general(
         occ, feat, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     proto = proto_ref[:]  # (P, D)
     dot = jnp.sum(roi * proto, axis=1, keepdims=True)  # (P, 1)
