@@ -55,3 +55,24 @@ def test_jsonl_tracker(tmp_path):
     rows = [json.loads(line) for line in open(t.path)]
     assert rows[0]["a"] == 1.0 and rows[0]["b"] == 2.5 and rows[0]["name"] == "x"
     assert rows[1]["a"] == 2.0
+
+
+def test_aggregate_predictions():
+    import pandas as pd
+
+    from protoasnet_tpu.train.aggregate import aggregate_predictions
+
+    df = pd.DataFrame({
+        "filename": ["a", "a", "b", "b", "b", "c"],
+        "target_AS": [0, 0, 1, 1, 1, 2],
+        "logit_No AS": [2.0, 1.5, 0.1, 0.0, 0.2, 0.0],
+        "logit_Early AS": [0.1, 0.2, 1.9, 2.2, 1.5, 0.1],
+        "logit_Significant AS": [0.0, 0.1, 0.0, 0.1, 0.3, 2.5],
+        "logit_abstain": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    })
+    agg, metrics = aggregate_predictions(df, abstain_class=True)
+    assert len(agg) == 3
+    assert list(agg.sort_values("filename")["pred_AS"]) == [0, 1, 2]
+    assert metrics["balanced_accuracy"] == 1.0
+    assert metrics["n_videos"] == 3
+    assert agg.loc[agg.filename == "b", "n_intervals"].item() == 3
