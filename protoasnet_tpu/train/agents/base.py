@@ -178,6 +178,24 @@ class BaseAgent:
             logging.info(f"No checkpoint at {path!r}; training from scratch")
             return
         try:
+            if path.endswith((".pkl", ".pickle")):
+                # migrated reference checkpoint (models/migrate.py): params +
+                # batch_stats only; optimizer state starts fresh
+                from protoasnet_tpu.utils.io import load_pickle
+
+                blob = load_pickle(path)
+                state = self.get_state()
+                state["params"] = jax.tree_util.tree_map(
+                    lambda ref, new: np.asarray(new, dtype=ref.dtype),
+                    state["params"], blob["params"])
+                state["batch_stats"] = jax.tree_util.tree_map(
+                    lambda ref, new: np.asarray(new, dtype=ref.dtype),
+                    state["batch_stats"], blob["batch_stats"])
+                state["epoch"] = int(blob.get("epoch", 0))
+                state["iteration"] = int(blob.get("iteration", 0))
+                self.set_state(state)
+                logging.info(f"Migrated reference checkpoint loaded from {path}")
+                return
             state = load_checkpoint(path, target=self.get_state())
             self.set_state(state)
             logging.info(

@@ -114,3 +114,63 @@ def test_migrate_ppnet_forward_parity():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(logits), lt.numpy(),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_migrated_checkpoint_loads_into_agent(synthetic_csv, tmp_path):
+    """Full migration loop: reference-layout .pth -> migrate CLI ->
+    agent --model.checkpoint_path=<pickle> -> identical logits."""
+    import os
+
+    from protoasnet_tpu.models.migrate import main as migrate_main
+    from protoasnet_tpu.train.agents import build_agent
+
+    ref = RefVideoXProtoNet().eval()
+    pth = str(tmp_path / "ref_last.pth")
+    torch.save({"epoch": 7, "iteration": 123, "state_dict": ref.state_dict()},
+               pth)
+
+    import yaml
+
+    cfg = {
+        "agent": "Video_XProtoNet_e2e", "abstain_class": True,
+        "wandb_mode": "disabled", "run_name": "m",
+        "save_dir": str(tmp_path / "logs"), "render_prototypes": False,
+        "model": {"checkpoint_path": "", "name": "Video_XProtoNet",
+                  "base_architecture": "resnet2p1d_18",
+                  "backbone_last_layer_num": -3,
+                  "prototype_shape": f"({P}, {D}, 1, 1, 1)", "num_classes": K},
+        "train": {"seed": 0, "num_train_epochs": 1, "save": True,
+                  "save_step": None, "num_warm_epochs": 0, "batch_size": 4,
+                  "accumulation_steps": 1, "push_start": 99, "push_rate": 1,
+                  "auto_resume": False,
+                  "criterion": {"CeLossAbstain": {"loss_weight": 1},
+                                "Lnorm_FC": {"p": 1, "loss_weight": 0}},
+                  "optimizer": {"name": "Adam", "mode": "lr_same",
+                                "lr_same": 1e-4},
+                  "lr_schedule": {"name": "StepLR", "step_size": 5,
+                                  "gamma": 0.1}},
+        "data": {"data_info_file": synthetic_csv, "sample_size": None,
+                 "sampler": "AS", "view": "all", "augmentation": False,
+                 "normalize": True, "img_size": 32, "frames": 8,
+                 "iterate_intervals": True, "interval_unit": "cycle",
+                 "interval_quant": 1.0},
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    out_pkl = str(tmp_path / "migrated.pickle")
+    migrate_main([pth, out_pkl, f"--config_path={cfg_path}"])
+    assert os.path.exists(out_pkl)
+
+    cfg["model"]["checkpoint_path"] = out_pkl
+    agent = build_agent(cfg)
+    assert agent.current_epoch == 7
+
+    x = np.random.default_rng(10).normal(size=(1, 8, 32, 32, 3)).astype(np.float32)
+    logits, _, _ = agent.model.apply(
+        {"params": agent.params, "batch_stats": agent.batch_stats},
+        jnp.asarray(x), train=False)
+    with torch.no_grad():
+        lt, _, _ = ref(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(np.asarray(logits), lt.numpy(),
+                               rtol=1e-3, atol=1e-4)
