@@ -92,7 +92,8 @@ def _bwd(interpret, residuals, grads):
     col = jnp.sum(g, axis=1)  # (N, P)
     g_w = 2.0 * (w * jnp.sum(col, axis=0)[:, None]
                  - jnp.einsum("nsp,nsd->pd", g, x2d, precision=hp))
-    return g_x, g_w
+    # cotangent dtypes must match the primals (bf16 models)
+    return g_x.astype(residuals[0].dtype), g_w.astype(residuals[1].dtype)
 
 
 _l2_min.defvjp(_fwd, _bwd)

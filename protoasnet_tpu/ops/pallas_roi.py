@@ -113,7 +113,9 @@ def _bwd(interpret, residuals, grads):
     # d cos/d proto = r/(|r||p|) - cos * p/|p|^2, summed over batch
     d_p = g_cos * (roi / (rnorm * pnorm[None]) - cos * protos[None] / (pnorm[None] ** 2))
     g_protos = jnp.sum(d_p, axis=0)
-    return g_occ, g_feat, g_protos
+    # cotangent dtypes must match the primals (bf16 models)
+    return (g_occ.astype(occ2.dtype), g_feat.astype(feat2.dtype),
+            g_protos.astype(residuals[2].dtype))
 
 
 _roi_cosine.defvjp(_fwd, _bwd)

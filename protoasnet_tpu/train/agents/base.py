@@ -131,7 +131,8 @@ class BaseAgent:
             "window_end": np.asarray(batch["window_end"])[v],
             "original_length": np.asarray(batch["original_length"])[v],
         }
-        logits = np.asarray(logits)[v]
+        # float32: pandas cannot hold ml_dtypes.bfloat16 columns
+        logits = np.asarray(logits).astype(np.float32)[v]
         for i, name in enumerate(self.logit_names):
             data[f"logit_{name}"] = logits[:, i]
         return pd.DataFrame(data)

@@ -77,12 +77,15 @@ class EpochMetrics:
     def update(self, logits, target, valid=None, similarities=None,
                loss_terms: Optional[Dict[str, float]] = None) -> Dict[str, float]:
         """Accumulate one batch; returns quick per-batch stats for logging."""
-        logits = np.asarray(logits)
+        # float32: sklearn rejects ml_dtypes.bfloat16 arrays (bf16 models)
+        logits = np.asarray(logits).astype(np.float32)
         target = np.asarray(target)
+        if similarities is not None:
+            similarities = np.asarray(similarities).astype(np.float32)
         if valid is not None:
             v = np.asarray(valid).astype(bool)
             logits, target = logits[v], target[v]
-            similarities = None if similarities is None else np.asarray(similarities)[v]
+            similarities = None if similarities is None else similarities[v]
         if self.abstain_class:
             probs = self._softmax(logits[:, : self.eval_classes])
         else:

@@ -71,3 +71,20 @@ def test_trace_noop_without_dir():
 
     with trace(None):
         pass  # no-op path
+
+
+def test_epoch_metrics_accepts_bfloat16():
+    import ml_dtypes  # noqa: F401  (bf16 numpy dtype)
+
+    from protoasnet_tpu.train.metrics import EpochMetrics
+
+    m = EpochMetrics(num_classes=4, abstain_class=True, num_prototypes=8)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 4)), jnp.bfloat16)
+    sims = jnp.asarray(rng.uniform(0.1, 1, size=(16, 8)), jnp.bfloat16)
+    target = np.concatenate([np.zeros(6), np.ones(5), np.full(5, 2)]).astype(int)
+    m.update(np.asarray(logits), target, np.ones(16, bool),
+             similarities=np.asarray(sims))
+    out = m.compute()
+    assert np.isfinite(out["AUC"]) and out["AUC"] >= 0
+    assert np.isfinite(out["f1_mean"])
