@@ -118,6 +118,36 @@ def convert_r2plus1d(sd: Dict[str, Any], num_stages: int = 3
     return params, stats
 
 
+def convert_r3d(sd: Dict[str, Any], num_stages: int = 3) -> Tuple[Dict, Dict]:
+    """torchvision r3d_18 state dict (VideoResNet with Conv3DSimple blocks:
+    stem.0/1, layerX.Y.conv{1,2}.0 + .1, downsample.0/1) -> R3D18 trees."""
+    params: Dict[str, Any] = {
+        "stem_conv": {"kernel": _conv(sd["stem.0.weight"])}}
+    stats: Dict[str, Any] = {}
+    p, s = _bn(sd, "stem.1")
+    params["stem_bn"], stats["stem_bn"] = p, s
+    for i in range(num_stages):
+        for j in range(2):
+            t = f"layer{i + 1}.{j}"
+            f = f"layer{i + 1}_{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in (1, 2):
+                bp[f"conv{c}"] = {"kernel": _conv(sd[f"{t}.conv{c}.0.weight"])}
+                bnp, bns = _bn(sd, f"{t}.conv{c}.1")
+                bp[f"bn{c}"] = bnp
+                bs[f"bn{c}"] = bns
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                bnp, bns = _bn(sd, f"{t}.downsample.1")
+                bp["downsample_bn"] = bnp
+                bs["downsample_bn"] = bns
+            params[f] = bp
+            stats[f] = bs
+    return params, stats
+
+
 def convert_vgg(sd: Dict[str, Any], variant: str = "vgg16") -> Tuple[Dict, Dict]:
     """torchvision vgg*(_bn) features state dict -> (params, batch_stats)
     matching VGGFeatures (keys features.{i}.weight over the Sequential)."""
@@ -226,6 +256,11 @@ def load_pretrained_backbone(params, batch_stats, model_config: Dict[str, Any]):
         lln = int(model_config.get("backbone_last_layer_num", -3))
         num_stages = (7 + lln if lln < 0 else lln) - 1
         bp, bs = convert_r2plus1d(sd, num_stages=num_stages)
+        sub = "cnn_backbone"
+    elif arch == "r3d_18":
+        lln = int(model_config.get("backbone_last_layer_num", -3))
+        num_stages = (7 + lln if lln < 0 else lln) - 1
+        bp, bs = convert_r3d(sd, num_stages=num_stages)
         sub = "cnn_backbone"
     elif arch in RESNET_SPECS:
         bp, bs = convert_resnet2d(sd, arch)

@@ -293,3 +293,65 @@ def test_densenet_import_forward_parity():
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=1e-3)
+
+
+class TVR3DBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv3d(cin, cout, 3, (stride,) * 3, 1, bias=False),
+            nn.BatchNorm3d(cout), nn.ReLU())
+        self.conv2 = nn.Sequential(
+            nn.Conv3d(cout, cout, 3, 1, 1, bias=False), nn.BatchNorm3d(cout))
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv3d(cin, cout, 1, (stride,) * 3, bias=False),
+                nn.BatchNorm3d(cout))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        return self.relu(self.conv2(self.conv1(x)) + r)
+
+
+class TVR3D(nn.Module):
+    def __init__(self, num_stages=3):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 64, (3, 7, 7), (1, 2, 2), (1, 3, 3), bias=False),
+            nn.BatchNorm3d(64), nn.ReLU())
+        cin = 64
+        for i in range(num_stages):
+            blocks = []
+            for j in range(2):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TVR3DBlock(cin, 64 * 2**i, stride))
+                cin = 64 * 2**i
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.num_stages = num_stages
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(self.num_stages):
+            x = getattr(self, f"layer{i + 1}")(x)
+        return x
+
+
+def test_r3d18_import_forward_parity():
+    from protoasnet_tpu.models.backbones.r3d import R3D18
+    from protoasnet_tpu.models.torch_import import convert_r3d
+
+    torch.manual_seed(5)
+    tv = TVR3D(num_stages=3).eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_r3d(sd, num_stages=3)
+    model = R3D18(last_layer_num=-3)
+    x = np.random.default_rng(5).normal(size=(1, 8, 32, 32, 3)).astype(np.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tv(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
