@@ -9,6 +9,8 @@ import pytest
 
 from protoasnet_tpu.train.agents import build_agent
 
+pytestmark = pytest.mark.slow
+
 
 def _video_config(csv, tmp):
     return {

@@ -8,6 +8,8 @@ import pytest
 
 from protoasnet_tpu.train.agents import build_agent
 
+pytestmark = pytest.mark.slow
+
 
 def _image_base(csv, tmp):
     return {
