@@ -172,3 +172,26 @@ def test_on_device_metrics_matches_host(synthetic_csv, tmp_path):
 
     # same init (same seed) and deterministic eval loader -> same metrics
     np.testing.assert_allclose(res_host, res_dev, rtol=1e-5, atol=1e-6)
+
+
+def test_training_is_deterministic(synthetic_csv, tmp_path):
+    """Same seed + same data -> bitwise-identical trained params (explicit
+    PRNG discipline; no hidden global state)."""
+    import jax
+
+    def train_once(sub):
+        cfg = _video_config(synthetic_csv, tmp_path / sub)
+        cfg["train"]["push_start"] = 99  # pure SGD epoch, no push
+        agent = build_agent(cfg)
+        agent.train()
+        return agent.params
+
+    p1 = train_once("a")
+    p2 = train_once("b")
+    for (k1, l1), (k2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p2),
+    ):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
+                                      err_msg=str(k1))
