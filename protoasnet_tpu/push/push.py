@@ -76,7 +76,11 @@ def _update_carry(carry, dist, occ, roi, logits, gt, valid, batch_id,
     b_dist, b_idx, b_roi, b_occ = _batch_winners(
         dist, occ, roi, gt, valid, class_id, class_specific
     )
-    better = b_dist <= carry["dist"]  # <= : tie keeps the LATEST (ref parity)
+    # <= : tie keeps the LATEST (ref parity). isfinite guard: an all-masked
+    # batch yields b_dist=inf, and inf <= inf would record a bogus
+    # wrong-class winner for a prototype whose class never appears — the
+    # reference skips such prototypes and keeps their vectors.
+    better = (b_dist <= carry["dist"]) & jnp.isfinite(b_dist)
 
     def sel(new, old):
         shape = (-1,) + (1,) * (new.ndim - 1)

@@ -308,6 +308,9 @@ class ProtoPNetStagedAgent(_ProtoPNetCommon):
             "opt_state_warm": self.opt_states["warm"],
             "opt_state_joint": self.opt_states["joint"],
             "opt_state_last": self.opt_states["last"],
+            "acc_warm": self.accs["warm"],
+            "acc_joint": self.accs["joint"],
+            "acc_last": self.accs["last"],
             "step": self.state.step,
             "best_metric": self.best_metric,
             "lr_scale": self.scheduler.lr,
@@ -320,6 +323,8 @@ class ProtoPNetStagedAgent(_ProtoPNetCommon):
         self.scheduler.lr = float(st["lr_scale"])
         for s in ("warm", "joint", "last"):
             self.opt_states[s] = st[f"opt_state_{s}"]
+            if f"acc_{s}" in st:
+                self.accs[s] = st[f"acc_{s}"]
         self.state = self.state.replace(
             params=st["params"], batch_stats=st["batch_stats"], step=st["step"])
 

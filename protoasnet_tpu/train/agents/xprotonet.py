@@ -52,6 +52,16 @@ class _XProtoNetAgentCommon(BaseAgent):
             abstain_class=self.abstain_class,
         )
 
+    def _clamp_lr(self, base: float, scale: float) -> float:
+        """base * scale with torch ReduceLROnPlateau's ABSOLUTE min_lr floor
+        (the scheduler here tracks a multiplicative scale, so the config's
+        min_lr must clamp the product, not the scale). Groups with base 0
+        are not in the reference optimizer at all — no floor for them."""
+        lr = base * scale
+        if base > 0:
+            lr = max(lr, getattr(self, "min_abs_lr", 0.0))
+        return lr
+
     def _epoch_log(self, epoch: int, mode: str, summary: Dict[str, Any],
                    seconds: float) -> None:
         losses = summary["losses"]
@@ -312,10 +322,12 @@ class XProtoNetE2EAgent(_XProtoNetAgentCommon):
             accumulation_steps=int(self.train_config.get("accumulation_steps", 1)),
             stage="all",
         )
-        self.scheduler = make_lr_scheduler(
-            self.train_config.get("lr_schedule", {"name": "ReduceLROnPlateau"}),
-            initial_lr=1.0,  # scheduler outputs a SCALE applied to base lrs
-        )
+        sched_cfg = dict(self.train_config.get("lr_schedule",
+                                               {"name": "ReduceLROnPlateau"}))
+        self.min_abs_lr = float(sched_cfg.pop("min_lr", 0.0))
+        # scheduler outputs a SCALE applied to base lrs; min_lr is applied
+        # as an absolute floor in _clamp_lr (torch parity)
+        self.scheduler = make_lr_scheduler(sched_cfg, initial_lr=1.0)
         self.load_checkpoint_file(self.model_config.get("checkpoint_path"))
 
     # -- state plumbing
@@ -333,7 +345,8 @@ class XProtoNetE2EAgent(_XProtoNetAgentCommon):
 
     def _lrs(self):
         scale = self.scheduler.lr  # scheduler tracks a multiplicative scale
-        return {g: jnp.float32(self.base_lrs[g] * scale) for g in GROUPS}
+        return {g: jnp.float32(self._clamp_lr(self.base_lrs[g], scale))
+                for g in GROUPS}
 
     def _replace_params(self, new_params) -> None:
         self.state = self.state.replace(params=new_params)
@@ -370,7 +383,8 @@ class XProtoNetE2EAgent(_XProtoNetAgentCommon):
             self.run_epoch(epoch, mode="train")
             _, mean_f1, _ = self.run_epoch(epoch, mode="val")
 
-            self.lr = self.scheduler.step(mean_f1) * self.base_lrs["prototypes"]
+            self.lr = self._clamp_lr(self.base_lrs["prototypes"],
+                                      self.scheduler.step(mean_f1))
 
             if epoch == int(tc.get("num_warm_epochs", 0)):
                 self.push(replace_prototypes=False)
@@ -402,7 +416,8 @@ class XProtoNetE2EAgent(_XProtoNetAgentCommon):
             if is_best:
                 self.best_metric = mean_f1
             self.save_checkpoint(is_best=is_best)
-            self.lr = self.scheduler.step(mean_f1) * self.base_lrs["prototypes"]
+            self.lr = self._clamp_lr(self.base_lrs["prototypes"],
+                                      self.scheduler.step(mean_f1))
             if (epoch >= int(tc.get("push_start", 1 << 30))
                     and epoch % int(tc.get("push_rate", 5)) == 0):
                 self.push(replace_prototypes=False)
@@ -465,13 +480,12 @@ class XProtoNetStagedAgent(_XProtoNetAgentCommon):
         self.opt_states = {s: self.tx.init(self._params0)
                            for s in ("warm", "joint", "last")}
         self.accs = {s: self.state.acc for s in ("warm", "joint", "last")}
+        sched_cfg = dict(self.train_config.get("lr_schedule",
+                                               {"name": "ReduceLROnPlateau"}))
+        self.min_abs_lr = float(sched_cfg.pop("min_lr", 0.0))
         self.schedulers = {
-            "joint": make_lr_scheduler(
-                self.train_config.get("lr_schedule",
-                                      {"name": "ReduceLROnPlateau"}), 1.0),
-            "last": make_lr_scheduler(
-                self.train_config.get("lr_schedule",
-                                      {"name": "ReduceLROnPlateau"}), 1.0),
+            "joint": make_lr_scheduler(sched_cfg, 1.0),
+            "last": make_lr_scheduler(sched_cfg, 1.0),
         }
         self._active_stage = "joint"
         self.load_checkpoint_file(self.model_config.get("checkpoint_path"))
@@ -499,7 +513,8 @@ class XProtoNetStagedAgent(_XProtoNetAgentCommon):
         stage = self._active_stage
         scale = (self.schedulers["last"].lr if stage == "last"
                  else self.schedulers["joint"].lr)
-        return {g: jnp.float32(self.stage_lrs[stage][g] * scale) for g in GROUPS}
+        return {g: jnp.float32(self._clamp_lr(self.stage_lrs[stage][g], scale))
+                for g in GROUPS}
 
     def _replace_params(self, new_params) -> None:
         self.state = self.state.replace(params=new_params)
@@ -513,6 +528,11 @@ class XProtoNetStagedAgent(_XProtoNetAgentCommon):
             "opt_state_warm": self.opt_states["warm"],
             "opt_state_joint": self.opt_states["joint"],
             "opt_state_last": self.opt_states["last"],
+            # in-flight summed micro-grads per stage: without these a resume
+            # with accumulation_steps > 1 silently drops partial accumulation
+            "acc_warm": self.accs["warm"],
+            "acc_joint": self.accs["joint"],
+            "acc_last": self.accs["last"],
             "step": self.state.step,
             "best_metric": self.best_metric,
             "lr_scale_joint": self.schedulers["joint"].lr,
@@ -527,6 +547,8 @@ class XProtoNetStagedAgent(_XProtoNetAgentCommon):
         self.schedulers["last"].lr = float(st["lr_scale_last"])
         for s in ("warm", "joint", "last"):
             self.opt_states[s] = st[f"opt_state_{s}"]
+            if f"acc_{s}" in st:
+                self.accs[s] = st[f"acc_{s}"]
         self.state = self.state.replace(
             params=st["params"], batch_stats=st["batch_stats"], step=st["step"]
         )

@@ -108,14 +108,24 @@ def make_xprotonet_steps(
         (total, aux), grads = grad_fn(
             state.params, state.batch_stats, cine, target, valid, rng
         )
-        # stage freezing: zero grads of frozen groups (keeps Adam moments 0)
+        # stage freezing: frozen groups must see NO update at all (reference
+        # warm/last optimizers exclude frozen modules entirely). Zero their
+        # grads, zero the params fed to the torch-style wd hook (so Adam
+        # moments stay 0), and zero the final updates — otherwise wd*p alone
+        # drives a ~sign(p)*lr drift on frozen pretrained backbones.
         mask = trainable_mask(state.params, stage)
         grads = jax.tree_util.tree_map(
             lambda g, m: g if m else jnp.zeros_like(g), grads, mask
         )
+        wd_params = jax.tree_util.tree_map(
+            lambda p, m: p if m else jnp.zeros_like(p), state.params, mask
+        )
         updates, new_acc, new_opt, applied = accumulate_and_maybe_update(
-            tx, grads, state.acc, state.opt_state, state.params,
+            tx, grads, state.acc, state.opt_state, wd_params,
             accumulation_steps,
+        )
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
         )
         labels = label_params(state.params)
         new_params = _apply_updates_with_lr(state.params, updates, labels, lrs)
@@ -198,13 +208,20 @@ def make_protopnet_steps(
         (total, aux), grads = grad_fn(
             state.params, state.batch_stats, cine, target, valid
         )
+        # same frozen-group masking as the xprotonet step (see comment there)
         mask = trainable_mask(state.params, stage)
         grads = jax.tree_util.tree_map(
             lambda g, m: g if m else jnp.zeros_like(g), grads, mask
         )
+        wd_params = jax.tree_util.tree_map(
+            lambda p, m: p if m else jnp.zeros_like(p), state.params, mask
+        )
         updates, new_acc, new_opt, applied = accumulate_and_maybe_update(
-            tx, grads, state.acc, state.opt_state, state.params,
+            tx, grads, state.acc, state.opt_state, wd_params,
             accumulation_steps,
+        )
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
         )
         labels = label_params(state.params)
         new_params = _apply_updates_with_lr(state.params, updates, labels, lrs)

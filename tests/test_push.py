@@ -115,3 +115,40 @@ def test_push_prototypes_sharded_mesh(synthetic_csv, tmp_path):
         info_mesh["prototypes_similarity_to_src_ROIs"], rtol=1e-5, atol=1e-6)
     assert list(info_single["prototypes_filenames"]) == \
         list(info_mesh["prototypes_filenames"])
+
+
+def test_update_carry_ignores_all_masked_batches():
+    """A class-specific prototype whose class never appears must stay
+    unmatched (batch_id -1, dist inf) — inf <= inf must NOT record a
+    bogus wrong-class winner that replace would then copy in."""
+    import jax
+
+    from protoasnet_tpu.push.push import _update_carry
+
+    p, b, d, k = 4, 3, 5, 2
+    class_id = jnp.asarray(np.array([0, 0, 1, 1], np.int32))
+    class_specific = jnp.asarray(np.ones(p, bool))
+    carry = {
+        "dist": jnp.full((p,), jnp.inf, jnp.float32),
+        "roi": jnp.zeros((p, d), jnp.float32),
+        "occ": jnp.zeros((p, 2, 2), jnp.float32),
+        "logits": jnp.zeros((p, k), jnp.float32),
+        "gt": jnp.full((p,), -1, jnp.int32),
+        "batch_id": jnp.full((p,), -1, jnp.int32),
+        "sample_idx": jnp.full((p,), -1, jnp.int32),
+    }
+    rng = np.random.default_rng(0)
+    dist = jnp.asarray(rng.uniform(0, 1, size=(b, p)).astype(np.float32))
+    occ = jnp.asarray(rng.uniform(size=(b, 2, 2, p)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    logits = jnp.zeros((b, k), jnp.float32)
+    gt = jnp.zeros(b, jnp.int32)  # batch contains ONLY class 0
+    valid = jnp.ones(b, bool)
+
+    out = jax.device_get(_update_carry(
+        carry, dist, occ, roi, logits, gt, valid, jnp.int32(0),
+        class_id, class_specific))
+    assert (out["batch_id"][:2] == 0).all()
+    assert (out["batch_id"][2:] == -1).all()
+    assert np.isinf(out["dist"][2:]).all()
+    assert (out["gt"][2:] == -1).all()

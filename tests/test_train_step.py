@@ -162,3 +162,38 @@ def test_hybrid_dp_tp_mesh(setup):
            ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
     new_st, m = train_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
     assert np.isfinite(float(m["loss_all"]))
+
+
+def test_frozen_stage_no_weight_decay_drift(setup):
+    """Weight decay alone must not move frozen groups: during warm stage the
+    backbone and last_layer are frozen, but the torch-style wd hook sees all
+    params — without masking, Adam turns wd*p into a ~sign(p)*lr drift."""
+    model, state, _ = setup
+    bundle = LossBundle(CRITERION, num_classes=4, abstain_class=True)
+    tx = make_adam(weight_decay_by_group={g: 1e-3 for g in
+                                          ("backbone", "add_on", "occurrence",
+                                           "last_layer")},
+                   params=state.params)
+    warm_step, _, _ = make_xprotonet_steps(model, bundle, tx,
+                                           accumulation_steps=1, stage="warm",
+                                           donate=False)
+    rng = np.random.default_rng(5)
+    lrs = {g: jnp.float32(1e-3) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    st = TrainState.create(state.params, state.batch_stats, tx)
+    key = jax.random.PRNGKey(0)
+    new_st = st
+    for _ in range(3):
+        x, y, v = _batch(rng)
+        key, sub = jax.random.split(key)
+        new_st, _ = warm_step(new_st, x, y, v, sub, lrs)
+    for grp in ("cnn_backbone", "last_layer"):
+        before = jax.tree_util.tree_leaves(st.params[grp])
+        after = jax.tree_util.tree_leaves(new_st.params[grp])
+        for b_leaf, a_leaf in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(b_leaf), np.asarray(a_leaf))
+    # frozen leaves keep exactly-zero Adam moments (chain: (wd, scale_by_adam))
+    adam_state = new_st.opt_state[1]
+    for mom in (adam_state.mu, adam_state.nu):
+        for leaf in jax.tree_util.tree_leaves(mom["cnn_backbone"]):
+            assert (np.asarray(leaf) == 0).all()
