@@ -281,6 +281,15 @@ class ClipLoader:
         )
         self.augment = augment
         self.prefetch = prefetch
+        # one jitted call stages clip + labels + mask together: each separate
+        # host->device transfer costs a full relay round trip (~0.3-0.5 s on
+        # tunneled TPU hosts), so per-step device arrays ride ONE dispatch
+        import jax as _jax
+
+        self._stage = _jax.jit(
+            lambda clips_u8, t_len, rng, gt, valid:
+            (self.preprocess(clips_u8, t_len, rng), gt, valid)
+        )
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
@@ -336,9 +345,15 @@ class ClipLoader:
             if hb is sentinel:
                 break
             key, sub = jax.random.split(key)
-            cine = self.preprocess(hb.pop("clip_u8"), hb["t_len"],
-                                   sub if self.augment else None)
+            cine, gt_dev, valid_dev = self._stage(
+                hb.pop("clip_u8"), hb["t_len"],
+                sub if self.augment else None,
+                hb["target_AS"], hb["valid"],
+            )
             hb["cine"] = cine
+            # device copies of the label/mask (host numpy stays for metrics)
+            hb["target_AS_dev"] = gt_dev
+            hb["valid_dev"] = valid_dev
             hb["step"] = step
             step += 1
             yield hb
@@ -357,6 +372,10 @@ def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,
         augment = False
         if mode != "push":
             iterate_intervals = bool(config.get("iterate_intervals", False))
+        else:
+            # push is inference-only: a bigger batch amortizes the per-batch
+            # relay round trip (train batches are sized for fwd+bwd memory)
+            bsize = int(config.get("push_batch_size") or max(bsize, 32))
         if config["frames"] == 1:
             bsize = config.get("eval_batch_size", 150)
 

@@ -23,11 +23,10 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from protoasnet_tpu.explain.render import (
+    compose_panel_frame,
     make_heatmap,
-    prototype_plot,
-    remove_images,
     upsample_occurrence_map,
-    write_video,
+    write_video_frames,
 )
 from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 from protoasnet_tpu.utils.io import load_pickle, save_pickle
@@ -79,11 +78,13 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
                     proto_img: Optional[np.ndarray],
                     proto_occ: Optional[np.ndarray],
                     title: str, out_base: str) -> None:
-    """4-panel per frame: input, input-overlay, prototype-overlay, prototype."""
-    import matplotlib
+    """4-panel per frame: input, input-overlay, prototype-overlay, prototype.
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Frames compose in numpy/PIL and stream straight into the MP4 writer —
+    the reference's matplotlib-figure-per-frame + moviepy path
+    (local_explainability.py:113-188) costs ~150 ms/frame on a 1-core host.
+    """
+    from PIL import Image
 
     video = clip_norm.ndim == 4
     img = np.clip(clip_norm * NORM_STD + NORM_MEAN, 0, 1)
@@ -98,45 +99,32 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
     else:
         p_img = p_up = None
 
-    frames = range(img.shape[0]) if video else [None]
-    paths = []
-    for t in frames:
+    labels = ("input", "input overlay", "prototype overlay", "prototype")
+    frames = []
+    for t in (range(img.shape[0]) if video else [None]):
         cur = img[t] if video else img
         cur_up = up[t] if video else up
-        panels = [("input", cur),
-                  ("input overlay", 0.5 * cur + 0.3 * make_heatmap(cur_up))]
+        panels = [cur, 0.5 * cur + 0.3 * make_heatmap(cur_up)]
         if p_img is not None:
             pc = p_img[t % p_img.shape[0]] if p_img.ndim == 4 else p_img
             pu = p_up[t % p_up.shape[0]] if p_up.ndim == 3 and video else p_up
-            panels += [("prototype overlay", 0.5 * pc + 0.3 * make_heatmap(pu)),
-                       ("prototype", pc)]
-        fig, axs = plt.subplots(1, len(panels), figsize=(5 * len(panels), 5))
-        axs = np.atleast_1d(axs)
-        for ax, (name, im) in zip(axs, panels):
-            ax.imshow(np.clip(im, 0, 1))
-            ax.title.set_text(name)
-            ax.axis("off")
-        fig.suptitle(title)
-        fig.tight_layout()
-        p = f"{out_base}_{t if t is not None else 0}.png"
-        plt.savefig(p)
-        plt.close(fig)
-        paths.append(p)
-    if video and len(paths) > 1:
-        if write_video(paths, out_base + ".mp4", fps=5):
-            remove_images(paths)
-    elif not video:
-        os.replace(paths[0], out_base + ".png")
+            panels += [0.5 * pc + 0.3 * make_heatmap(pu), pc]
+        frames.append(compose_panel_frame(panels, title,
+                                          labels=labels[: len(panels)]))
+    if video and len(frames) > 1:
+        out = write_video_frames(frames, out_base + ".mp4", fps=5)
+        if out is None:
+            for t, f in enumerate(frames):
+                Image.fromarray(f).save(f"{out_base}_{t}.png")
+    else:
+        Image.fromarray(frames[0]).save(out_base + ".png")
 
 
 def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
     """Standalone input_overlaid/ and prototype-ranked occurrence videos
     (reference local_explainability.py:190-250): the input clip overlaid
     with its TOP prototype's occurrence heatmap."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    from PIL import Image
 
     j = int(np.argmax(contribution))
     occ_j = np.moveaxis(occ, -1, 0)[j]
@@ -146,21 +134,22 @@ def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
     out_dir = os.path.join(out_root, "input_overlaid")
     makedir(out_dir)
     video = img.ndim == 4
-    frames = range(img.shape[0]) if video else [None]
-    paths = []
-    for t in frames:
+    frames = []
+    for t in (range(img.shape[0]) if video else [None]):
         cur = img[t] if video else img
         cur_up = up[t] if video else up
-        fig, ax = plt.subplots(figsize=(5, 5))
-        ax.imshow(np.clip(0.5 * cur + 0.3 * make_heatmap(cur_up), 0, 1))
-        ax.axis("off")
-        p = os.path.join(out_dir, f"{sample_id:04d}_{t or 0}.png")
-        plt.savefig(p, bbox_inches="tight")
-        plt.close(fig)
-        paths.append(p)
-    if video and len(paths) > 1:
-        if write_video(paths, os.path.join(out_dir, f"{sample_id:04d}.mp4"), 5):
-            remove_images(paths)
+        overlay = np.clip(0.5 * cur + 0.3 * make_heatmap(cur_up), 0, 1)
+        frames.append((overlay * 255).astype(np.uint8))
+    if video and len(frames) > 1:
+        out = write_video_frames(
+            frames, os.path.join(out_dir, f"{sample_id:04d}.mp4"), fps=5)
+        if out is None:
+            for t, f in enumerate(frames):
+                Image.fromarray(f).save(
+                    os.path.join(out_dir, f"{sample_id:04d}_{t}.png"))
+    else:
+        Image.fromarray(frames[0]).save(
+            os.path.join(out_dir, f"{sample_id:04d}_0.png"))
 
 
 def explain_local(agent, mode: str = "test", top_k: int = 3,

@@ -25,7 +25,7 @@ __all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
 
 _ARRAY_KEYS = (
     "cine", "target_AS", "t_len", "interval_idx", "window_start", "window_end",
-    "original_length", "valid",
+    "original_length", "valid", "target_AS_dev", "valid_dev",
 )
 
 

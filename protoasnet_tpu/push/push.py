@@ -68,11 +68,13 @@ def batch_winners(dist, occ, roi, gt, valid, class_id, class_specific):
 
 
 @jax.jit
-def _update_carry(carry, dist, occ, roi, logits, gt, valid, batch_id,
+def _update_carry(carry, dist, occ, roi, logits, gt, valid,
                   class_id, class_specific):
     """Fold one batch into the running per-prototype best — entirely on
     device, so the scan loop never synchronizes with the host (each host
-    round trip through the TPU relay costs ~0.3-0.5 s)."""
+    round trip through the TPU relay costs ~0.3-0.5 s). The batch counter
+    lives in the carry ("scan_pos") so no host scalar is staged per batch."""
+    batch_id = carry["scan_pos"]
     b_dist, b_idx, b_roi, b_occ = _batch_winners(
         dist, occ, roi, gt, valid, class_id, class_specific
     )
@@ -94,6 +96,7 @@ def _update_carry(carry, dist, occ, roi, logits, gt, valid, batch_id,
         "gt": jnp.where(better, gt[b_idx], carry["gt"]),
         "batch_id": jnp.where(better, batch_id, carry["batch_id"]),
         "sample_idx": jnp.where(better, b_idx, carry["sample_idx"]),
+        "scan_pos": carry["scan_pos"] + 1,
     }
 
 
@@ -135,12 +138,16 @@ def push_prototypes(
     # synchronizes with the host exactly ONCE at the end
     carry = None
     batch_meta = []  # host window metadata per batch, indexed by batch_id
-    for batch_id, batch in enumerate(dataloader):
+    for batch in dataloader:
         if shard_fn is not None:
             batch = shard_fn(batch)
         roi, dist, occ, logits = push_step(params, batch_stats, batch["cine"])
-        valid = jnp.asarray(np.asarray(batch["valid"]))
-        gt = jnp.asarray(np.asarray(batch["target_AS"]).astype(np.int32))
+        valid = batch.get("valid_dev")
+        if valid is None:
+            valid = jnp.asarray(np.asarray(batch["valid"]))
+        gt = batch.get("target_AS_dev")
+        if gt is None:
+            gt = jnp.asarray(np.asarray(batch["target_AS"]).astype(np.int32))
         if carry is None:
             k_logits = logits.shape[-1]
             carry = {
@@ -151,9 +158,10 @@ def push_prototypes(
                 "gt": jnp.full((p,), -1, jnp.int32),
                 "batch_id": jnp.full((p,), -1, jnp.int32),
                 "sample_idx": jnp.full((p,), -1, jnp.int32),
+                "scan_pos": jnp.zeros((), jnp.int32),
             }
         carry = _update_carry(carry, dist, occ, roi, logits, gt, valid,
-                              jnp.int32(batch_id), class_id_dev, class_spec_dev)
+                              class_id_dev, class_spec_dev)
         batch_meta.append({
             "filename": list(batch["filename"]),
             "video_idx": np.asarray(batch["video_idx"]),

@@ -75,6 +75,8 @@ class BaseAgent:
         ebsz = int(dl_cfg.get("eval_batch_size", 150))
         if ebsz % nd:
             dl_cfg["eval_batch_size"] = -(-ebsz // nd) * nd
+        pbsz = int(dl_cfg.get("push_batch_size") or max(bsz, 32))
+        dl_cfg["push_batch_size"] = -(-pbsz // nd) * nd
         self.data_loaders = {
             "train": get_as_dataloader(dl_cfg, "train", "train", seed,
                                        self._store_cache),

@@ -142,8 +142,12 @@ class _XProtoNetAgentCommon(BaseAgent):
             with timer.phase("step"):
                 batch = self.shard(batch)
                 rng = self.next_rng()
-                target = jnp.asarray(np.asarray(batch["target_AS"]))
-                valid = jnp.asarray(np.asarray(batch["valid"]))
+                target = batch.get("target_AS_dev")
+                if target is None:
+                    target = jnp.asarray(np.asarray(batch["target_AS"]))
+                valid = batch.get("valid_dev")
+                if valid is None:
+                    valid = jnp.asarray(np.asarray(batch["valid"]))
                 if is_train:
                     state = self._state_for(optimizer_name)
                     state, m = train_step(state, batch["cine"], target, valid,

@@ -88,3 +88,32 @@ def test_epoch_metrics_accepts_bfloat16():
     out = m.compute()
     assert np.isfinite(out["AUC"]) and out["AUC"] >= 0
     assert np.isfinite(out["f1_mean"])
+
+
+def test_compose_and_mp4_writer(tmp_path):
+    """PIL frame composer + OpenCV MP4 writer (no ffmpeg in this env):
+    frames must compose with caption space and the MP4 must read back with
+    the right frame count."""
+    import numpy as np
+
+    from protoasnet_tpu.explain.render import (
+        compose_panel_frame, write_video_frames)
+
+    rng = np.random.default_rng(0)
+    panels = [rng.uniform(size=(56, 56, 3)).astype(np.float32) for _ in range(4)]
+    frame = compose_panel_frame(panels, "title", labels=("a", "b", "c", "d"),
+                                colorbar=True)
+    assert frame.dtype == np.uint8 and frame.ndim == 3
+    assert frame.shape[0] > 112  # caption + labels above the 2x-scaled panels
+
+    frames = [frame] * 7
+    out = write_video_frames(frames, str(tmp_path / "clip.mp4"), fps=5)
+    assert out is not None and out.endswith(".mp4")
+
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 7

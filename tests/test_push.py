@@ -136,6 +136,7 @@ def test_update_carry_ignores_all_masked_batches():
         "gt": jnp.full((p,), -1, jnp.int32),
         "batch_id": jnp.full((p,), -1, jnp.int32),
         "sample_idx": jnp.full((p,), -1, jnp.int32),
+        "scan_pos": jnp.zeros((), jnp.int32),
     }
     rng = np.random.default_rng(0)
     dist = jnp.asarray(rng.uniform(0, 1, size=(b, p)).astype(np.float32))
@@ -146,7 +147,7 @@ def test_update_carry_ignores_all_masked_batches():
     valid = jnp.ones(b, bool)
 
     out = jax.device_get(_update_carry(
-        carry, dist, occ, roi, logits, gt, valid, jnp.int32(0),
+        carry, dist, occ, roi, logits, gt, valid,
         class_id, class_specific))
     assert (out["batch_id"][:2] == 0).all()
     assert (out["batch_id"][2:] == -1).all()
