@@ -11,8 +11,14 @@ reference implementation (BASELINE_MEASURED.json, produced once by
 bench_baseline_torch.py; the reference repo publishes no numbers —
 BASELINE.md). Extra diagnostics go to stderr.
 
-Flags: --quick (fewer iters), --train (also time the full train step),
---batch N, --bf16 (bfloat16 activations on the backbone).
+The default run times BOTH inference and the full train step (the JSON
+line's "extra" dict carries train clips/s and any suite numbers) so the
+driver's per-round record tracks training throughput, not just inference.
+
+Flags: --quick (fewer iters), --no-train (skip the train-step timing),
+--batch N (inference batch), --train-batch N, --accum N (grad-accumulation
+micro-steps), --remat (checkpointed backbone blocks), --bf16 (bfloat16
+activations on the backbone).
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--train", dest="train", action="store_true",
+                    default=True, help="time the train step (default on)")
+    ap.add_argument("--no-train", dest="train", action="store_false")
     ap.add_argument("--suite", action="store_true",
                     help="also bench image model + push scan; writes "
                          "BENCH_DETAIL.json")
@@ -41,6 +49,13 @@ def main():
     # fp32, 542 bf16; batch 8 gives 412). Larger batches choke on the
     # ~600 MB host->device staging through this environment's relay.
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--train-batch", type=int, default=None,
+                    help="train-step batch (default: min(batch, 8) without "
+                         "--remat, else batch)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="grad-accumulation micro-steps in the train bench")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint backbone blocks (fits batch 32 train)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
@@ -121,15 +136,27 @@ def main():
             "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
             "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
         }
-        # train bench at batch <= 8: batch-32 fwd+bwd activations don't fit
-        b = min(b, 8)
-        x = x[:b]
+        # default train batch 8 (batch-32 fwd+bwd activations only fit with
+        # --remat, which trades ~20% FLOPs for the memory)
+        if args.train_batch is not None:
+            tb = args.train_batch
+        else:
+            tb = b if args.remat else min(b, 8)
+        if tb <= b:
+            xt = x[:tb]
+        else:
+            xt = jnp.asarray(
+                rng.normal(size=(tb,) + shape[1:]).astype(np.float32))
+        b, x = tb, xt
+        train_model = model
+        if args.remat:
+            train_model = build_model({**cfg, "remat": True})
         bundle = LossBundle(criterion, num_classes=4, abstain_class=True)
         tx = make_adam(weight_decay_by_group={g: 1e-3 for g in GROUPS},
                        params=params)
         # donate=False: state0 is reused across timing runs
-        train_step, _, _ = make_xprotonet_steps(model, bundle, tx,
-                                                accumulation_steps=1,
+        train_step, _, _ = make_xprotonet_steps(train_model, bundle, tx,
+                                                accumulation_steps=args.accum,
                                                 stage="all", donate=False)
         state0 = TrainState.create(params, batch_stats, tx)
         y = jnp.asarray(rng.integers(0, 3, size=b).astype(np.int32))
@@ -178,11 +205,20 @@ def main():
             json.dump({k: round(v, 3) for k, v in result.items()}, f, indent=2)
         log(f"wrote {detail_path}: {result}")
 
+    extra = {k: round(v, 3) for k, v in result.items()
+             if k != "infer_clips_per_sec"}
+    base_train = None
+    if os.path.exists(baseline_path):
+        base_train = base.get("torch_cpu_train_clips_per_sec")
+    if base_train and "train_clips_per_sec" in extra:
+        extra["train_vs_baseline"] = round(
+            extra["train_clips_per_sec"] / base_train, 3)
     print(json.dumps({
         "metric": "protoasnet_video_infer_clips_per_sec",
         "value": round(infer_cps, 3),
         "unit": "clips/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "extra": extra,
     }))
 
 

@@ -264,6 +264,7 @@ class ClipLoader:
         min_crop_ratio: float = 0.7,
         seed: int = 0,
         prefetch: int = 2,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -281,6 +282,7 @@ class ClipLoader:
         )
         self.augment = augment
         self.prefetch = prefetch
+        self.num_workers = max(int(num_workers), 1)
         # one jitted call stages clip + labels + mask together: each separate
         # host->device transfer costs a full relay round trip (~0.3-0.5 s on
         # tunneled TPU hosts), so per-step device arrays ride ONE dispatch
@@ -314,17 +316,48 @@ class ClipLoader:
         key = jax.random.PRNGKey(self.seed * 100003 + self._epoch)
         order = self._order(rng)
         b = self.batch_size
+        n_batches = len(self)
+
+        def gather_batch(bi: int):
+            # per-batch RNG keyed by (seed, epoch, batch) so gathers are
+            # order-independent: N workers produce the identical epoch as 1
+            # (the reference gets the same property from torch DataLoader's
+            # per-worker seeding, as_dataloader.py:59-66 / num_workers: 10)
+            items = order[bi * b : (bi + 1) * b]
+            valid = np.ones(b, dtype=bool)
+            if len(items) < b:  # pad final batch, mask out padding
+                valid[len(items) :] = False
+                items = np.concatenate([items, np.full(b - len(items), items[-1])])
+            brng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch, bi])
+            )
+            hb = self.dataset.gather(items, brng)
+            hb["valid"] = valid
+            return hb
 
         def host_batches():
-            for s in range(0, len(order), b):
-                items = order[s : s + b]
-                valid = np.ones(b, dtype=bool)
-                if len(items) < b:  # pad final batch, mask out padding
-                    valid[len(items) :] = False
-                    items = np.concatenate([items, np.full(b - len(items), items[-1])])
-                hb = self.dataset.gather(items, rng)
-                hb["valid"] = valid
-                yield hb
+            if self.num_workers > 1:
+                # in-order sliding window of futures: up to num_workers
+                # gathers run concurrently, results yield in batch order
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    pending: "deque" = deque()
+                    nxt = 0
+                    ahead = self.num_workers + self.prefetch
+                    while nxt < n_batches and len(pending) < ahead:
+                        pending.append(ex.submit(gather_batch, nxt))
+                        nxt += 1
+                    while pending:
+                        hb = pending.popleft().result()
+                        if nxt < n_batches:
+                            pending.append(ex.submit(gather_batch, nxt))
+                            nxt += 1
+                        yield hb
+            else:
+                for bi in range(n_batches):
+                    yield gather_batch(bi)
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -429,6 +462,7 @@ def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,
         rotate_degrees=config.get("transform_rotate_degrees", 10.0),
         min_crop_ratio=config.get("transform_min_crop_ratio", 0.7),
         seed=seed,
+        num_workers=int(config.get("num_workers", 1) or 1),
     )
     logging.info(
         f"dataloader[{split}/{mode}]: {len(dataset)} samples, {len(loader)} batches, "

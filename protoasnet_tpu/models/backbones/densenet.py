@@ -12,6 +12,8 @@ from functools import partial
 from typing import Any, List, Tuple
 
 import flax.linen as nn
+
+from protoasnet_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 from protoasnet_tpu.models.backbones.resnet2d import kaiming_out
@@ -34,7 +36,7 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         y = nn.relu(norm(name="norm1")(x))
         y = nn.Conv(_BN_SIZE * self.growth_rate, (1, 1), use_bias=False,
@@ -51,7 +53,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.relu(BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name="norm")(x))
         x = nn.Conv(self.out_features, (1, 1), use_bias=False,
                     kernel_init=kaiming_out, dtype=self.dtype, name="conv")(x)
@@ -77,7 +79,7 @@ class DenseNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         init_f, growth, blocks = DENSENET_SPECS[self.variant]
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = nn.Conv(init_f, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=kaiming_out, dtype=self.dtype, name="conv0")(x)

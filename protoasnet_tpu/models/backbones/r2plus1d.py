@@ -21,6 +21,8 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+
+from protoasnet_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 from jax import lax
 
@@ -84,7 +86,15 @@ class SpaceToDepthStemConv(nn.Module):
 
 
 class Conv2Plus1D(nn.Module):
-    """Factorized 3-D conv: spatial (1,3,3) then temporal (3,1,1)."""
+    """Factorized 3-D conv: spatial (1,3,3) then temporal (3,1,1).
+
+    Perf note: evaluating the spatial conv as a 2-D conv over
+    (N*T, H, W, C) looks ~25% faster in isolation (fwd+bwd 101 vs 78
+    TF/s, experiments/conv_layouts.py) but regresses the FULL network
+    2.7x (512 -> 186 clips/s inference) — the (N,T)<->(N*T) reshapes
+    around every spatial conv force layout conversions against the
+    neighboring 3-D temporal convs. Keep everything NDHWC 3-D.
+    """
 
     inplanes: int
     planes: int
@@ -97,7 +107,7 @@ class Conv2Plus1D(nn.Module):
         x = nn.Conv(mid, (1, 3, 3), strides=(1, self.stride, self.stride),
                     padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                     kernel_init=kaiming_out, dtype=self.dtype, name="spatial")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn_mid")(x)
         x = nn.relu(x)
         x = nn.Conv(self.planes, (3, 1, 1), strides=(self.stride, 1, 1),
@@ -114,7 +124,7 @@ class BasicBlock2Plus1D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         residual = x
         y = Conv2Plus1D(self.inplanes, self.planes, self.stride,
@@ -157,7 +167,7 @@ class R2Plus1D18(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         # (2+1)D stem: 45 mid-channels (torchvision R2Plus1dStem)
         if self.s2d_stem:

@@ -12,6 +12,8 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+
+from protoasnet_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 from protoasnet_tpu.models.backbones.resnet2d import kaiming_out
@@ -26,7 +28,7 @@ class BasicBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         residual = x
         y = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
@@ -68,7 +70,7 @@ class R3D18(nn.Module):
         x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2),
                     padding=((1, 1), (3, 3), (3, 3)), use_bias=False,
                     kernel_init=kaiming_out, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         for i in range(n_stages):

@@ -17,6 +17,8 @@ from functools import partial
 from typing import Any, List, Tuple
 
 import flax.linen as nn
+
+from protoasnet_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 __all__ = ["ResNetFeatures", "resnet_features", "RESNET_SPECS"]
@@ -33,7 +35,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            BatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype,
         )
         residual = x
@@ -69,7 +71,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            BatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype,
         )
         out_filters = self.filters * self.expansion
@@ -123,7 +125,7 @@ class ResNetFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         block_cls, stage_sizes = RESNET_SPECS[self.block_name]
         norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            BatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype,
         )
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,

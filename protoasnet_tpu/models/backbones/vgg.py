@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, List, Tuple
 
 import flax.linen as nn
+
+from protoasnet_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 from protoasnet_tpu.models.backbones.resnet2d import kaiming_out
@@ -55,7 +57,7 @@ class VGGFeatures(nn.Module):
                             use_bias=not self.batch_norm,
                             dtype=self.dtype, name=f"conv{conv_idx}")(x)
                 if self.batch_norm:
-                    x = nn.BatchNorm(use_running_average=not train,
+                    x = BatchNorm(use_running_average=not train,
                                      momentum=0.9, epsilon=1e-5,
                                      dtype=self.dtype, name=f"bn{conv_idx}")(x)
                 x = nn.relu(x)

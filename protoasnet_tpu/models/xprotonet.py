@@ -99,6 +99,17 @@ class XProtoNet(nn.Module):
         fmap = self.cnn_backbone(x, train=train)
         return jnp.abs(self.occurrence_module(fmap))
 
+    def occurrence_map_softmaxed(self, fmap):
+        """Softmax-normalized occurrence map over spatial/temporal
+        positions per prototype (reference get_occurence_map_softmaxed,
+        XProtoNet.py:75-80 — unused by the reference's training path;
+        kept for API completeness). Takes backbone FEATURES like the
+        reference, returns channels-last (N, ..., P)."""
+        occ = self.occurrence_module(fmap)
+        n, p = occ.shape[0], occ.shape[-1]
+        flat = occ.reshape(n, -1, p)
+        return jax.nn.softmax(flat, axis=1).reshape(occ.shape)
+
     def push_forward(self, x, train: bool = False):
         roi, sim, occ, logits = self._heads(x, train)
         return roi, 1.0 - sim, occ, logits

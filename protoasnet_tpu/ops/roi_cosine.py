@@ -38,17 +38,22 @@ def roi_pool(occ: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
     d = feat.shape[-1]
     occ2 = occ.reshape(n, -1, p)
     feat2 = feat.reshape(n, -1, d)
-    # batched (P, S) @ (S, D) on the MXU; full fp32 (precision=HIGHEST) —
-    # the prototype head is parity-critical (BASELINE fp32 tolerance)
+    # batched (P, S) @ (S, D) on the MXU; at least fp32 (precision=HIGHEST)
+    # — the prototype head is parity-critical (BASELINE fp32 tolerance);
+    # promote (not pin) so float64 parity tests keep full precision
+    acc = jnp.promote_types(jnp.promote_types(occ.dtype, feat.dtype),
+                            jnp.float32)
     return jnp.einsum("nsp,nsd->npd", occ2, feat2,
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=acc,
                       precision=jax.lax.Precision.HIGHEST)
 
 
 def cosine_similarity_to_prototypes(roi: jnp.ndarray, prototypes: jnp.ndarray) -> jnp.ndarray:
     """(N, P, D) x (P, D) -> (N, P) cosine in [-1, 1], torch-eps semantics."""
-    roi = roi.astype(jnp.float32)
-    prototypes = prototypes.astype(jnp.float32)
+    acc = jnp.promote_types(jnp.promote_types(roi.dtype, prototypes.dtype),
+                            jnp.float32)
+    roi = roi.astype(acc)
+    prototypes = prototypes.astype(acc)
     dot = jnp.sum(roi * prototypes[None], axis=-1)
     n1 = jnp.maximum(jnp.linalg.norm(roi, axis=-1), _EPS)
     n2 = jnp.maximum(jnp.linalg.norm(prototypes, axis=-1), _EPS)

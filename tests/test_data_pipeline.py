@@ -112,3 +112,30 @@ def test_as_weighted_sampler_balances_classes(synthetic_csv):
             counts += np.bincount(t, minlength=3)
     frac = counts / counts.sum()
     assert frac.max() - frac.min() < 0.15, f"class draw fractions {frac}"
+
+
+def test_multi_worker_epoch_matches_single_worker(synthetic_csv):
+    """num_workers > 1 must reproduce the 1-worker epoch exactly: the
+    gather RNG is keyed per (seed, epoch, batch), so parallel assembly is
+    order-independent (reference property via torch DataLoader worker
+    seeding, as_dataloader.py:59-66)."""
+    cfg = _data_config(synthetic_csv)
+    a = get_as_dataloader({**cfg, "num_workers": 1}, "train", "train", seed=3)
+    b = get_as_dataloader({**cfg, "num_workers": 4}, "train", "train", seed=3)
+    ba, bb = list(a), list(b)
+    assert len(ba) == len(bb) > 1
+    for x, y in zip(ba, bb):
+        np.testing.assert_array_equal(np.asarray(x["cine"]),
+                                      np.asarray(y["cine"]))
+        np.testing.assert_array_equal(x["target_AS"], y["target_AS"])
+        np.testing.assert_array_equal(x["window_start"], y["window_start"])
+        assert x["filename"] == y["filename"]
+    # and a re-iteration of the same epoch is deterministic
+    bb2 = list(b)
+    np.testing.assert_array_equal(np.asarray(bb[0]["cine"]),
+                                  np.asarray(bb2[0]["cine"]))
+    # different epochs draw different windows under augmentation
+    b.set_epoch(1)
+    bb3 = list(b)
+    assert not np.array_equal(np.asarray(bb[0]["cine"]),
+                              np.asarray(bb3[0]["cine"]))

@@ -191,3 +191,39 @@ def test_resnet_conv_info_rf_chain():
     assert len(ks) == 18
     assert ks[0] == 7 and ss[0] == 2 and ps[0] == 3
     assert sum(1 for s in ss if s == 2) == 5  # total stride 32
+
+
+def test_occurrence_map_softmaxed_variant():
+    """Reference get_occurence_map_softmaxed parity (XProtoNet.py:75-80):
+    softmax over flattened spatial positions per prototype, applied to
+    backbone features."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "XProtoNet", "base_architecture": "resnet18",
+           "prototype_shape": (8, 64, 1, 1), "num_classes": 4,
+           "img_size": 32}
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3))
+                    .astype(np.float32))
+    params, stats = init_model(model, x, seed=0)
+    variables = {"params": params, "batch_stats": stats}
+    fmap = model.apply(variables, x, train=False,
+                       method=lambda m, xx, train: m.cnn_backbone(xx, train),
+                       )
+    occ_raw = model.apply(variables, fmap,
+                          method=lambda m, f: m.occurrence_module(f))
+    sm = model.apply(variables, fmap,
+                     method=lambda m, f: m.occurrence_map_softmaxed(f))
+    n, p = sm.shape[0], sm.shape[-1]
+    sums = np.asarray(sm).reshape(n, -1, p).sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+    # matches torch softmax over flattened spatial dims
+    t = torch.softmax(
+        torch.tensor(np.asarray(occ_raw).reshape(n, -1, p)), dim=1).numpy()
+    np.testing.assert_allclose(np.asarray(sm).reshape(n, -1, p), t,
+                               rtol=1e-5, atol=1e-7)

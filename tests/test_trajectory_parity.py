@@ -1,0 +1,31 @@
+"""Multi-step training TRAJECTORY parity vs torch.
+
+The strongest machine-checkable substitute for real-dataset AUROC parity
+(the reference's experiment dataset is private): N Adam steps -> push ->
+prototype replacement -> post-push step, side by side with a torch twin
+following the reference semantics exactly, parameters compared at every
+boundary at float64 near-machine precision (rtol 1e-7).
+
+The actual run lives in tests/trajectory_driver.py and executes in a
+subprocess because JAX x64 mode is process-global; float64 is required
+because Adam's first step is ~lr * sign(grad), which amplifies fp32
+rounding noise on near-zero gradients into full ±lr parameter divergence
+regardless of framework correctness.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_train_push_replace_train_trajectory_matches_torch():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no virtual-device mesh needed
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "trajectory_driver.py")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=900,
+    )
+    assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
+    assert "TRAJECTORY_OK" in r.stdout, r.stdout
