@@ -303,6 +303,23 @@ def _suite_benches(args, rng):
         out["push_scan_clips_per_sec"] = n_clips / dt
         log(f"push scan: {n_clips} clips in {dt:.1f}s -> "
             f"{n_clips / dt:.1f} clips/s (post-compile, incl. host IO)")
+
+        # --- Explain/push rendering (PIL panel composition + MP4 write),
+        # the host-side cost of every prototype visualization
+        from protoasnet_tpu.explain.render import prototype_plot
+
+        n_render, t_frames = 8, 32
+        clip = rng.uniform(0, 1, size=(3, t_frames, 112, 112)).astype(np.float32)
+        occ = rng.uniform(0, 1, size=(1, 8, 14, 14)).astype(np.float32)
+        t0 = _time.time()
+        for j in range(n_render):
+            prototype_plot(img=clip, occurrence_map=occ, proto_id=j,
+                           fn=f"bench_{j}", pred=np.zeros(4, np.float32),
+                           gt=0, proto_dir=tmp)
+        dt = _time.time() - t0
+        out["explain_render_clips_per_sec"] = n_render / dt
+        log(f"explain render: {n_render} clip panels (32f, MP4) in {dt:.1f}s "
+            f"-> {n_render / dt:.1f} clips/s")
     return out
 
 

@@ -16,6 +16,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated suite runs skip recompiling the
+# heavy train-step/backbone programs (measured ~2-3x faster warm reruns on
+# this 1-core host). Same-machine only; the cpu_aot_loader "machine
+# feature" stderr noise on load is cosmetic (pseudo-features ordering).
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/protoasnet_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
