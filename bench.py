@@ -17,7 +17,8 @@ driver's per-round record tracks training throughput, not just inference.
 
 Flags: --quick (fewer iters), --no-train (skip the train-step timing),
 --batch N (inference batch), --train-batch N, --accum N (grad-accumulation
-micro-steps), --remat (checkpointed backbone blocks), --bf16 (bfloat16
+micro-steps), --remat (checkpointed backbone blocks), --fp32 (bfloat16
+backbone compute is the shipped default; see BASELINE.md), --bf16 (bfloat16
 activations on the backbone).
 """
 
@@ -56,7 +57,11 @@ def main():
                     help="grad-accumulation micro-steps in the train bench")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint backbone blocks (fits batch 32 train)")
-    ap.add_argument("--bf16", action="store_true")
+    # bfloat16 is the shipped flagship default since the round-2
+    # convergence study (BASELINE.md); bench follows the shipped config
+    ap.add_argument("--bf16", dest="bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false",
+                    help="bench fp32 instead of the bf16 default")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
 

@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate",
+           "fsdp_param_shardings"]
 
 _ARRAY_KEYS = (
     "cine", "target_AS", "t_len", "interval_idx", "window_start", "window_end",
@@ -82,6 +83,34 @@ def prototype_param_shardings(params: Any, mesh: Mesh) -> Any:
         return repl
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def fsdp_param_shardings(params: Any, mesh: Mesh, axis: str = "data",
+                         min_size: int = 1 << 14) -> Any:
+    """ZeRO-3 / FSDP-style placement: every parameter of >= ``min_size``
+    elements shards its largest ``axis``-divisible dimension over the mesh;
+    GSPMD all-gathers the shards on use in the forward/backward and keeps
+    the persistent copy (and anything placed with the same tree — Adam
+    moments, grad-accumulator sums) sharded, cutting per-chip state memory
+    ~linearly in mesh size. Small leaves replicate (gather latency would
+    dominate). Pure placement hints: the jitted step is unchanged.
+    """
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def assign(leaf):
+        if getattr(leaf, "size", 0) < min_size:
+            return repl
+        dims = list(leaf.shape)
+        cands = [i for i, d in enumerate(dims) if d % n == 0 and d >= n]
+        if not cands:
+            return repl
+        i = max(cands, key=lambda j: dims[j])
+        spec = [None] * len(dims)
+        spec[i] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(assign, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -207,13 +207,18 @@ def push_prototypes(
         uniq = list(keys)
         t_max = dataset.t_max
         s = dataset.img_size
-        clips_u8 = np.zeros((len(uniq), t_max, s, s), np.uint8)
-        t_lens = np.zeros(len(uniq), np.int32)
+        # pad the re-assembly batch to a FIXED size (P >= n_uniq): a
+        # varying winner count re-specializes the jitted preprocess every
+        # push (~8 s XLA compile each, the dominant fixed cost of a warm
+        # push on this host) while the padded shape compiles once
+        pad_to = p
+        clips_u8 = np.zeros((pad_to, t_max, s, s), np.uint8)
+        t_lens = np.ones(pad_to, np.int32)
         for i, (vid, start, end) in enumerate(uniq):
             win = dataset.store.window(vid, start, end)
             clips_u8[i, : win.shape[0]] = win
             t_lens[i] = win.shape[0]
-        winner_clips = np.asarray(preprocess(clips_u8, t_lens, None))
+        winner_clips = np.asarray(preprocess(clips_u8, t_lens, None))[: len(uniq)]
         for i, key in enumerate(uniq):
             for j in keys[key]:
                 best_meta[j]["item_clip"] = winner_clips[i]

@@ -197,3 +197,52 @@ def test_frozen_stage_no_weight_decay_drift(setup):
     for mom in (adam_state.mu, adam_state.nu):
         for leaf in jax.tree_util.tree_leaves(mom["cnn_backbone"]):
             assert (np.asarray(leaf) == 0).all()
+
+
+def test_fsdp_param_shardings_on_mesh(setup):
+    """FSDP/ZeRO-3-style: large params shard their biggest data-divisible
+    dim over the data axis; the jitted step runs unchanged (GSPMD inserts
+    the all-gathers) and small leaves stay replicated."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protoasnet_tpu.parallel import batch_sharding, make_mesh
+    from protoasnet_tpu.parallel.mesh import fsdp_param_shardings
+    from protoasnet_tpu.train.optim import GradAccumulator
+
+    model, state, (train_step, _, _) = setup
+    mesh = make_mesh()
+    fsdp = fsdp_param_shardings(state.params, mesh, min_size=1 << 10)
+    specs = jax.tree_util.tree_map(lambda s: s.spec, fsdp)
+    flat = jax.tree_util.tree_leaves(specs, is_leaf=lambda s: isinstance(s, P))
+    assert any(sp != P() for sp in flat), "nothing sharded"
+    # every sharded leaf's dim is divisible by the mesh size
+    for leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(
+                            fsdp, is_leaf=lambda s: isinstance(s, NamedSharding))):
+        for dim, name in zip(leaf.shape, sh.spec + (None,) * leaf.ndim):
+            if name == "data":
+                assert dim % 8 == 0
+
+    put = jax.tree_util.tree_map
+    repl = NamedSharding(mesh, P())
+    st = state.replace(
+        params=put(jax.device_put, state.params, fsdp),
+        acc=GradAccumulator(acc=put(jax.device_put, state.acc.acc, fsdp),
+                            count=jax.device_put(state.acc.count, repl)),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+    )
+    rng = np.random.default_rng(5)
+    x, y, v = _batch(rng, n=8)
+    sharding = batch_sharding(mesh)
+    x, y, v = (jax.device_put(a, sharding) for a in (x, y, v))
+    lrs = {g: jnp.float32(1e-4) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    new_st, m = train_step(st, x, y, v, jax.random.PRNGKey(0), lrs)
+    assert np.isfinite(float(m["loss_all"]))
+    # parity with the replicated run: same batch, same init -> same loss
+    st_r = jax.device_put(state, repl)
+    _, m_r = train_step(st_r, x, y, v, jax.random.PRNGKey(0), lrs)
+    np.testing.assert_allclose(float(m["loss_all"]), float(m_r["loss_all"]),
+                               rtol=2e-5)
