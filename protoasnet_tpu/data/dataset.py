@@ -363,8 +363,29 @@ class ClipLoader:
         sentinel = object()
 
         def producer():
+            # staging runs IN the producer thread (JAX dispatch is
+            # thread-safe): batch k+1's host->device transfer overlaps
+            # batch k's compute — double-buffering that matters on
+            # relay-attached hosts where H2D bandwidth, not the device,
+            # bounds scan loops like push. The PRNG key chain stays in
+            # batch order because this thread is the only key consumer.
+            nonlocal key
+            step = 0
             try:
                 for hb in host_batches():
+                    key, sub = jax.random.split(key)
+                    cine, gt_dev, valid_dev = self._stage(
+                        hb.pop("clip_u8"), hb["t_len"],
+                        sub if self.augment else None,
+                        hb["target_AS"], hb["valid"],
+                    )
+                    hb["cine"] = cine
+                    # device copies of label/mask (host numpy stays for
+                    # metrics)
+                    hb["target_AS_dev"] = gt_dev
+                    hb["valid_dev"] = valid_dev
+                    hb["step"] = step
+                    step += 1
                     q.put(hb)
             finally:
                 q.put(sentinel)
@@ -372,23 +393,10 @@ class ClipLoader:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        step = 0
         while True:
             hb = q.get()
             if hb is sentinel:
                 break
-            key, sub = jax.random.split(key)
-            cine, gt_dev, valid_dev = self._stage(
-                hb.pop("clip_u8"), hb["t_len"],
-                sub if self.augment else None,
-                hb["target_AS"], hb["valid"],
-            )
-            hb["cine"] = cine
-            # device copies of the label/mask (host numpy stays for metrics)
-            hb["target_AS_dev"] = gt_dev
-            hb["valid_dev"] = valid_dev
-            hb["step"] = step
-            step += 1
             yield hb
 
 

@@ -218,7 +218,14 @@ def push_prototypes(
             win = dataset.store.window(vid, start, end)
             clips_u8[i, : win.shape[0]] = win
             t_lens[i] = win.shape[0]
-        winner_clips = np.asarray(preprocess(clips_u8, t_lens, None))[: len(uniq)]
+        dev_clips = preprocess(clips_u8, t_lens, None)[: len(uniq)]
+        # push mode never augments, so the 3 channels are identical
+        # gray broadcasts: slice ONE channel on device, ship it through
+        # the host link (3x less D2H — the link is the bottleneck on
+        # relay-attached hosts), re-broadcast on host
+        host_1ch = np.asarray(dev_clips[..., :1])
+        winner_clips = np.broadcast_to(
+            host_1ch, host_1ch.shape[:-1] + (3,))
         for i, key in enumerate(uniq):
             for j in keys[key]:
                 best_meta[j]["item_clip"] = winner_clips[i]
