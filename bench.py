@@ -46,10 +46,12 @@ def main():
     ap.add_argument("--suite", action="store_true",
                     help="also bench image model + push scan; writes "
                          "BENCH_DETAIL.json")
-    # batch 32 is the measured single-chip throughput sweet spot (474 clips/s
-    # fp32, 542 bf16; batch 8 gives 412). Larger batches choke on the
-    # ~600 MB host->device staging through this environment's relay.
-    ap.add_argument("--batch", type=int, default=32)
+    # inference batch sweep (bf16, chained-loop marginal): 8 -> ~420, 32 ->
+    # 509, 48 -> 529, 64 -> 549, 128 -> 637 clips/s; 256 exceeds what the
+    # relay can stage in bounded time. 128 is the serving sweet spot (the
+    # old batch-32 note applied to per-batch H2D staging in the training
+    # loop, which double-buffers now).
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--train-batch", type=int, default=None,
                     help="train-step batch (default: min(batch, 8) without "
                          "--remat, else batch)")
