@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="grad-accumulation micro-steps in the train bench")
     ap.add_argument("--remat", action="store_true",
-                    help="checkpoint backbone blocks (fits batch 32 train)")
+                    help="checkpoint backbone blocks (fits batch-16 train)")
     # bfloat16 is the shipped flagship default since the round-2
     # convergence study (BASELINE.md); bench follows the shipped config
     ap.add_argument("--bf16", dest="bf16", action="store_true", default=True)
@@ -148,7 +148,9 @@ def main():
         if args.train_batch is not None:
             tb = args.train_batch
         else:
-            tb = b if args.remat else min(b, 8)
+            # batch 8 is the measured fwd+bwd sweet spot; remat fits up to
+            # 16 (32 OOMs even with remat — BASELINE.md sweep)
+            tb = min(b, 16) if args.remat else min(b, 8)
         if tb <= b:
             xt = x[:tb]
         else:
@@ -316,11 +318,16 @@ def _suite_benches(args, rng):
         # readback, compile-cache lookups) dominate a 40-clip set on
         # relay-attached hosts; the two-size fit cancels them — this is
         # the rate that governs reference-scale pushes (1000s of clips)
-        marginal = (n_b - n_s) / max(dt_b - dt_s, 1e-9)
-        out["push_scan_marginal_clips_per_sec"] = marginal
         log(f"push scan: {n_s} clips in {dt_s:.1f}s -> "
-            f"{n_s / dt_s:.1f} clips/s total; {n_b} clips in {dt_b:.1f}s "
-            f"-> marginal {marginal:.1f} clips/s (fixed costs cancelled)")
+            f"{n_s / dt_s:.1f} clips/s total; {n_b} clips in {dt_b:.1f}s")
+        if dt_b > dt_s * 1.05:
+            marginal = (n_b - n_s) / (dt_b - dt_s)
+            out["push_scan_marginal_clips_per_sec"] = marginal
+            log(f"push marginal: {marginal:.1f} clips/s (fixed costs "
+                f"cancelled)")
+        else:
+            log("push marginal: SKIPPED — big-set run not measurably "
+                "slower (timing noise or a stray recompile); fit invalid")
 
         # --- Explain/push rendering (PIL panel composition + MP4 write),
         # the host-side cost of every prototype visualization

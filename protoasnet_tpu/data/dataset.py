@@ -361,6 +361,16 @@ class ClipLoader:
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons the epoch
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def producer():
             # staging runs IN the producer thread (JAX dispatch is
@@ -386,18 +396,27 @@ class ClipLoader:
                     hb["valid_dev"] = valid_dev
                     hb["step"] = step
                     step += 1
-                    q.put(hb)
+                    if not _put(hb):
+                        # consumer gone: exiting unwinds host_batches'
+                        # executor so worker threads + in-flight batches
+                        # are released rather than leaked
+                        break
             finally:
-                q.put(sentinel)
+                # blocks while the consumer is alive (it must see the
+                # sentinel); gives up only once `stop` marks it gone
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        while True:
-            hb = q.get()
-            if hb is sentinel:
-                break
-            yield hb
+        try:
+            while True:
+                hb = q.get()
+                if hb is sentinel:
+                    break
+                yield hb
+        finally:
+            stop.set()
 
 
 def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,

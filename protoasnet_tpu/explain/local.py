@@ -26,7 +26,7 @@ from protoasnet_tpu.explain.render import (
     compose_panel_frame,
     make_heatmap,
     upsample_occurrence_map,
-    write_video_frames,
+    write_video_or_frames,
 )
 from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 from protoasnet_tpu.utils.io import load_pickle, save_pickle
@@ -112,10 +112,7 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
         frames.append(compose_panel_frame(panels, title,
                                           labels=labels[: len(panels)]))
     if video and len(frames) > 1:
-        out = write_video_frames(frames, out_base + ".mp4", fps=5)
-        if out is None:
-            for t, f in enumerate(frames):
-                Image.fromarray(f).save(f"{out_base}_{t}.png")
+        write_video_or_frames(frames, out_base, fps=5)
     else:
         Image.fromarray(frames[0]).save(out_base + ".png")
 
@@ -141,12 +138,8 @@ def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
         overlay = np.clip(0.5 * cur + 0.3 * make_heatmap(cur_up), 0, 1)
         frames.append((overlay * 255).astype(np.uint8))
     if video and len(frames) > 1:
-        out = write_video_frames(
-            frames, os.path.join(out_dir, f"{sample_id:04d}.mp4"), fps=5)
-        if out is None:
-            for t, f in enumerate(frames):
-                Image.fromarray(f).save(
-                    os.path.join(out_dir, f"{sample_id:04d}_{t}.png"))
+        write_video_or_frames(
+            frames, os.path.join(out_dir, f"{sample_id:04d}"), fps=5)
     else:
         Image.fromarray(frames[0]).save(
             os.path.join(out_dir, f"{sample_id:04d}_0.png"))

@@ -25,7 +25,7 @@ from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 
 __all__ = ["upsample_occurrence_map", "make_heatmap", "prototype_plot",
            "compose_panel_frame", "write_video_frames", "write_video",
-           "write_gif", "remove_images"]
+           "write_gif", "remove_images", "write_video_or_frames"]
 
 _CAPTION_H = 22
 
@@ -124,11 +124,29 @@ def write_video_frames(frames: Sequence[np.ndarray], video_path: str,
         return None
 
 
+def write_video_or_frames(frames: Sequence[np.ndarray], base_path: str,
+                          fps: int = 5) -> None:
+    """Write an MP4 (GIF fallback) at ``base_path + '.mp4'``; if no video
+    backend works, dump per-frame PNGs ``base_path_<t>.png`` instead —
+    the shared fallback chain for every prototype/sample visualization."""
+    out = write_video_frames(frames, base_path + ".mp4", fps=fps)
+    if out is None:
+        from PIL import Image
+
+        for t, f in enumerate(frames):
+            Image.fromarray(f).save(f"{base_path}_{t}.png")
+
+
 def write_video(frame_paths: Sequence[str], video_path: str, fps: int = 5) -> bool:
     """Assemble PNG frames from disk into MP4/GIF. Returns True on success."""
     import imageio.v2 as imageio
 
-    frames = [np.asarray(imageio.imread(f))[..., :3] for f in frame_paths]
+    def as_rgb(arr: np.ndarray) -> np.ndarray:
+        if arr.ndim == 2:  # grayscale PNG
+            return np.repeat(arr[..., None], 3, axis=-1)
+        return arr[..., :3]  # drop alpha if present
+
+    frames = [as_rgb(np.asarray(imageio.imread(f))) for f in frame_paths]
     return write_video_frames(frames, video_path, fps=fps) is not None
 
 
@@ -147,7 +165,7 @@ def remove_images(paths: Sequence[str]) -> None:
             pass
 
 
-def _proto_frame(unnorm_img, upsampled, rescaled, vmin, vmax, title) -> np.ndarray:
+def _proto_frame(unnorm_img, rescaled, title) -> np.ndarray:
     """The reference prototype_plot 4-panel layout
     (push_abs_revision.py:77-178): base | masked | TURBO overlay | raw map."""
     mask = rescaled[..., None]
@@ -155,7 +173,7 @@ def _proto_frame(unnorm_img, upsampled, rescaled, vmin, vmax, title) -> np.ndarr
         unnorm_img,
         unnorm_img * mask,
         0.5 * unnorm_img + 0.3 * make_heatmap(rescaled),
-        _viridis(np.clip((upsampled - vmin) / max(vmax - vmin, 1e-7), 0, 1)),
+        _viridis(rescaled),  # == (upsampled - vmin)/(vmax - vmin), clipped
     ]
     return compose_panel_frame(panels, title,
                                labels=("base", "masked", "overlay", "mask"),
@@ -188,16 +206,12 @@ def prototype_plot(img, occurrence_map, proto_id, fn, pred, gt, proto_dir,
              f"{[f'{v:.2f}' for v in pred]} | gt = {gt}")
 
     if not video:
-        frame = _proto_frame(unnorm, up, rescaled, lo, hi, title)
+        frame = _proto_frame(unnorm, rescaled, title)
         Image.fromarray(frame).save(
             os.path.join(proto_dir, f"{proto_id:02d}_{fn}.png"))
         return
 
-    frames = [_proto_frame(unnorm[t], up[t], rescaled[t], lo, hi, title)
+    frames = [_proto_frame(unnorm[t], rescaled[t], title)
               for t in range(unnorm.shape[0])]
-    out = write_video_frames(
-        frames, os.path.join(proto_dir, f"{proto_id:02d}_{fn}.mp4"), fps=5)
-    if out is None:  # last resort: PNG frames
-        for t, f in enumerate(frames):
-            Image.fromarray(f).save(
-                os.path.join(proto_dir, f"{proto_id:02d}_{fn}_{t}.png"))
+    write_video_or_frames(
+        frames, os.path.join(proto_dir, f"{proto_id:02d}_{fn}"), fps=5)

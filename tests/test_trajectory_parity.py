@@ -17,6 +17,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# multi-minute e2e subprocess run — slow-marked per project convention
+# (the fast loop is `-m "not slow"`; the full suite always runs this)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
