@@ -30,6 +30,31 @@ _ARRAY_KEYS = (
 )
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host pod bring-up: call once per process before any mesh.
+
+    Uses ``jax.distributed.initialize()`` with automatic coordinator
+    discovery (TPU pod metadata / the standard JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID env vars). No-op on a single host
+    or when already initialized, so it is safe to call unconditionally
+    from main.py-style entry points. Returns True when running
+    multi-process afterwards.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    multi = ("JAX_COORDINATOR_ADDRESS" in os.environ
+             or os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1"))
+    if not multi:
+        return False
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):  # already initialized / solo run
+        pass
+    return jax.process_count() > 1
+
+
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[Sequence[Any]] = None) -> Mesh:
     """1-D data-parallel mesh over the available devices."""

@@ -20,7 +20,9 @@ import pandas as pd
 from protoasnet_tpu.data.dataset import get_as_dataloader
 from protoasnet_tpu.data.manifest import CLASS_LABELS
 from protoasnet_tpu.models.builder import build_model, example_input, init_model
-from protoasnet_tpu.parallel import make_mesh, shard_batch
+from protoasnet_tpu.parallel import (make_mesh,
+                                     maybe_initialize_distributed,
+                                     shard_batch)
 from protoasnet_tpu.tracking import make_tracker
 from protoasnet_tpu.train.metrics import EpochMetrics
 from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint
@@ -55,7 +57,13 @@ class BaseAgent:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self._params0))
         logging.info(f"model {self.model_config['name']}: {n_params / 1e6:.2f}M params")
 
-        # devices / mesh (data-parallel over all visible chips)
+        # devices / mesh (data-parallel over all visible chips; on a
+        # multi-host pod the coordinator handshake must precede mesh
+        # construction — no-op on one host)
+        if maybe_initialize_distributed():
+            logging.info(
+                f"distributed: process {jax.process_index()} of "
+                f"{jax.process_count()}")
         self.mesh = make_mesh()
         self.num_devices = int(self.mesh.devices.size)
         logging.info(f"mesh: {self.num_devices} device(s): {self.mesh}")

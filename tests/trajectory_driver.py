@@ -229,6 +229,42 @@ def main():
                                rtol=1e-9, err_msg="post-push loss")
     _compare(state.params, tm, "after post-push step")
 
+    # ---- WARM-stage leg: the staged agents' frozen-group semantics.
+    # The reference warm optimizer covers ONLY add_on + occurrence +
+    # prototypes (XProtoNet_Base warm_only); backbone and fc are absent
+    # from the optimizer entirely, so they must stay BITWISE unchanged
+    # while the trained groups track torch exactly.
+    warm_params = (list(tm.add_on.parameters())
+                   + list(tm.occ.parameters()) + [tm.prototypes])
+    opt_w = torch.optim.Adam(warm_params, lr=LR, weight_decay=WD)
+    warm_step, _, _ = make_xprotonet_steps(
+        model, bundle, tx, accumulation_steps=1, stage="warm", donate=False)
+    state = TrainState.create(state.params, state.batch_stats, tx)
+
+    fc_before = tm.fc.weight.detach().numpy().copy()
+    stem_before = np.asarray(
+        state.params["cnn_backbone"]["stem_spatial"]["kernel"]).copy()
+    for x, y in batches[:2]:
+        state, m = warm_step(state, jnp.asarray(x), jnp.asarray(y),
+                             jnp.ones(B, bool), jax.random.PRNGKey(0), lrs)
+        opt_w.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
+        lt = torch_loss(tm, xt, torch.tensor(y), ident)
+        lt.backward()
+        opt_w.step()
+        # looser than the first leg: both sides carry the (tiny) drift
+        # accumulated over the preceding steps+push into this leg
+        np.testing.assert_allclose(float(m["loss_all"]), float(lt.detach()),
+                                   rtol=1e-6, err_msg="warm-stage loss")
+    # frozen groups: bitwise-unchanged on our side, torch-equal overall
+    np.testing.assert_array_equal(
+        np.asarray(state.params["cnn_backbone"]["stem_spatial"]["kernel"]),
+        stem_before, err_msg="warm stage must not touch the backbone")
+    np.testing.assert_array_equal(
+        tm.fc.weight.detach().numpy(), fc_before,
+        err_msg="torch twin fc moved in warm stage?!")
+    _compare(state.params, tm, "after 2 warm-stage steps")
+
     print(f"losses {losses_j} == {losses_t}")
     print("TRAJECTORY_OK")
 
