@@ -246,3 +246,22 @@ def test_fsdp_param_shardings_on_mesh(setup):
     _, m_r = train_step(st_r, x, y, v, jax.random.PRNGKey(0), lrs)
     np.testing.assert_allclose(float(m["loss_all"]), float(m_r["loss_all"]),
                                rtol=2e-5)
+
+
+def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
+    """Single host / no coordinator env -> returns False without touching
+    jax.distributed; with the env set on an initialized single process it
+    must not raise."""
+    from protoasnet_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert maybe_initialize_distributed() is False
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    out = maybe_initialize_distributed()
+    assert calls, "initialize() not attempted with coordinator env set"
+    assert out is False  # still one process in this test
