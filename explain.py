@@ -12,6 +12,11 @@ from protoasnet_tpu.utils.run import create_save_loc, set_logger, set_seed
 
 
 def main():
+    # Multi-host bring-up before any other JAX API use (see main.py).
+    from protoasnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     config = updated_config()
     create_save_loc(config)
     save_dir = config["save_dir"]

@@ -15,6 +15,13 @@ from protoasnet_tpu.utils.run import backup_code, create_save_loc, set_logger, s
 
 
 def main():
+    # Multi-host bring-up must precede ANY other JAX API use (the
+    # coordinator handshake has to run before the XLA backend comes up),
+    # so it happens here at process entry, decided from env vars alone.
+    from protoasnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     config = updated_config()
     create_save_loc(config)
     save_dir = config["save_dir"]

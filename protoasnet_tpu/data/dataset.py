@@ -244,6 +244,13 @@ class ASClipDataset:
         }
 
 
+class _ProducerError:
+    """Marker carrying a producer-thread exception to the consumer loop."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class ClipLoader:
     """Batched iterator: host gather (background thread) + device transform.
 
@@ -401,6 +408,12 @@ class ClipLoader:
                         # executor so worker threads + in-flight batches
                         # are released rather than leaked
                         break
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                # A gather/stage failure must surface in the TRAINING loop,
+                # not vanish on this daemon thread's stderr leaving a short
+                # but apparently-successful epoch (torch DataLoader worker
+                # semantics: worker errors re-raise at the next next()).
+                _put(_ProducerError(e))
             finally:
                 # blocks while the consumer is alive (it must see the
                 # sentinel); gives up only once `stop` marks it gone
@@ -414,6 +427,10 @@ class ClipLoader:
                 hb = q.get()
                 if hb is sentinel:
                     break
+                if isinstance(hb, _ProducerError):
+                    raise RuntimeError(
+                        "dataloader worker failed (epoch aborted)"
+                    ) from hb.exc
                 yield hb
         finally:
             stop.set()

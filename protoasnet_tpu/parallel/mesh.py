@@ -22,7 +22,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate",
-           "fsdp_param_shardings"]
+           "fsdp_param_shardings", "distributed_requested",
+           "maybe_initialize_distributed"]
 
 _ARRAY_KEYS = (
     "cine", "target_AS", "t_len", "interval_idx", "window_start", "window_end",
@@ -30,28 +31,54 @@ _ARRAY_KEYS = (
 )
 
 
-def maybe_initialize_distributed() -> bool:
-    """Multi-host pod bring-up: call once per process before any mesh.
+_DIST = {"done": False}
 
-    Uses ``jax.distributed.initialize()`` with automatic coordinator
-    discovery (TPU pod metadata / the standard JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES, JAX_PROCESS_ID env vars). No-op on a single host
-    or when already initialized, so it is safe to call unconditionally
-    from main.py-style entry points. Returns True when running
-    multi-process afterwards.
-    """
+
+def distributed_requested() -> bool:
+    """Env-var-only check (never touches a JAX API, so it is safe to call
+    before backend initialization): was a multi-process run configured via
+    the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES variables?"""
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
-    multi = ("JAX_COORDINATOR_ADDRESS" in os.environ
-             or os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1"))
-    if not multi:
+    return ("JAX_COORDINATOR_ADDRESS" in os.environ
+            or os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1"))
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host pod bring-up: call once at PROCESS ENTRY (main.py /
+    explain.py do), before any other JAX API use — ``jax.distributed.
+    initialize()`` must run before the XLA backend comes up.
+
+    The decision is made from env vars alone (``distributed_requested``),
+    so this never initializes the backend on a single-host run. When a
+    multi-process run IS requested but initialize() fails (most commonly
+    because some JAX call already brought the backend up), this RAISES
+    instead of silently falling back to independent single-host runs —
+    each process training on its own local batch and clobbering the shared
+    save_dir is strictly worse than a crash. Returns True when running
+    multi-process afterwards.
+    """
+    if not distributed_requested():
         return False
+    if _DIST["done"]:
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize()
-    except (RuntimeError, ValueError):  # already initialized / solo run
-        pass
+    except RuntimeError as e:
+        # TPU-pod runtimes may auto-initialize; a second initialize() then
+        # raises "already initialized"-style errors while process_count is
+        # already correct. Only that case is benign.
+        if jax.process_count() > 1:
+            _DIST["done"] = True
+            return True
+        raise RuntimeError(
+            "multi-process run requested (JAX_COORDINATOR_ADDRESS / "
+            "JAX_NUM_PROCESSES set) but jax.distributed.initialize() "
+            "failed. Call maybe_initialize_distributed() at process entry "
+            "before any other JAX API use; refusing to fall back to an "
+            "independent single-host run."
+        ) from e
+    _DIST["done"] = True
     return jax.process_count() > 1
 
 
@@ -136,6 +163,27 @@ def fsdp_param_shardings(params: Any, mesh: Mesh, axis: str = "data",
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(assign, params)
+
+
+def opt_state_shardings(opt_state: Any, params: Any, param_shardings: Any,
+                        mesh: Mesh) -> Any:
+    """Placement tree for optimizer state under FSDP: subtrees that mirror
+    the param tree (Adam mu/nu moments, grad-accumulator sums) take the
+    param shardings leaf-for-leaf — so the per-chip memory win of ZeRO-3
+    covers the 2x Adam state too — while scalar leaves (step counts,
+    EmptyState) replicate."""
+    repl = NamedSharding(mesh, P())
+    pstruct = jax.tree_util.tree_structure(params)
+
+    def mirrors_params(x) -> bool:
+        try:
+            return jax.tree_util.tree_structure(x) == pstruct
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda x: param_shardings if mirrors_params(x) else repl,
+        opt_state, is_leaf=mirrors_params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

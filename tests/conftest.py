@@ -20,8 +20,14 @@ jax.config.update("jax_platforms", "cpu")
 # heavy train-step/backbone programs (measured ~2-3x faster warm reruns on
 # this 1-core host). Same-machine only; the cpu_aot_loader "machine
 # feature" stderr noise on load is cosmetic (pseudo-features ordering).
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/protoasnet_jax_test_cache")
+# Per-uid path: a fixed world-readable /tmp dir could be owned (or
+# poisoned) by another user on a shared host.
+import tempfile  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(tempfile.gettempdir(),
+                 f"protoasnet_jax_test_cache_{os.getuid()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -139,3 +139,28 @@ def test_multi_worker_epoch_matches_single_worker(synthetic_csv):
     bb3 = list(b)
     assert not np.array_equal(np.asarray(bb[0]["cine"]),
                               np.asarray(bb3[0]["cine"]))
+
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_producer_error_propagates_to_consumer(synthetic_csv, num_workers):
+    """A gather failure in the producer thread (or a worker-pool thread)
+    must re-raise in the consumer loop instead of silently truncating the
+    epoch (torch DataLoader worker-error semantics)."""
+    cfg = _data_config(synthetic_csv, batch=2)
+    loader = get_as_dataloader({**cfg, "num_workers": num_workers},
+                               "train", "train", seed=0)
+    assert len(loader) > 2
+
+    boom_calls = {"n": 0}
+    orig_gather = loader.dataset.gather
+
+    def flaky_gather(items, rng):
+        boom_calls["n"] += 1
+        if boom_calls["n"] == 2:
+            raise ValueError("synthetic decode failure")
+        return orig_gather(items, rng)
+
+    loader.dataset.gather = flaky_gather
+    with pytest.raises(RuntimeError, match="dataloader worker failed"):
+        for _ in loader:
+            pass

@@ -207,7 +207,8 @@ def test_fsdp_param_shardings_on_mesh(setup):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from protoasnet_tpu.parallel import batch_sharding, make_mesh
-    from protoasnet_tpu.parallel.mesh import fsdp_param_shardings
+    from protoasnet_tpu.parallel.mesh import (fsdp_param_shardings,
+                                              opt_state_shardings)
     from protoasnet_tpu.train.optim import GradAccumulator
 
     model, state, (train_step, _, _) = setup
@@ -226,12 +227,18 @@ def test_fsdp_param_shardings_on_mesh(setup):
 
     put = jax.tree_util.tree_map
     repl = NamedSharding(mesh, P())
+    # Adam mu/nu shard with the params (the ZeRO-3 memory win covers the
+    # 2x optimizer state, not just the weights); counts replicate
+    opt_sh = opt_state_shardings(state.opt_state, state.params, fsdp, mesh)
+    adam_sh = opt_sh[1]  # chain: (wd EmptyState, ScaleByAdamState)
+    assert any(s.spec != P() for s in jax.tree_util.tree_leaves(
+        adam_sh.mu, is_leaf=lambda s: isinstance(s, NamedSharding)))
     st = state.replace(
         params=put(jax.device_put, state.params, fsdp),
         acc=GradAccumulator(acc=put(jax.device_put, state.acc.acc, fsdp),
                             count=jax.device_put(state.acc.count, repl)),
         batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=jax.device_put(state.opt_state, repl),
+        opt_state=put(jax.device_put, state.opt_state, opt_sh),
     )
     rng = np.random.default_rng(5)
     x, y, v = _batch(rng, n=8)
@@ -250,18 +257,37 @@ def test_fsdp_param_shardings_on_mesh(setup):
 
 def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
     """Single host / no coordinator env -> returns False without touching
-    jax.distributed; with the env set on an initialized single process it
-    must not raise."""
+    jax.distributed. With the env set, initialize() must actually be
+    called; if it FAILS on a still-single process the helper must raise
+    (silent fallback to N independent single-host runs is the bug the
+    round-2 advisor flagged), and once initialized it must not re-call."""
+    import pytest as _pytest
+
+    from protoasnet_tpu.parallel import mesh as mesh_mod
     from protoasnet_tpu.parallel.mesh import maybe_initialize_distributed
 
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
     assert maybe_initialize_distributed() is False
 
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    monkeypatch.setitem(mesh_mod._DIST, "done", False)
+
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda *a, **k: calls.append(1))
-    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
     out = maybe_initialize_distributed()
     assert calls, "initialize() not attempted with coordinator env set"
     assert out is False  # still one process in this test
+    # successful init is recorded: a second call must not re-initialize
+    maybe_initialize_distributed()
+    assert len(calls) == 1
+
+    # failure on a single process with multi-process requested -> raise
+    def boom(*a, **k):
+        raise RuntimeError("must be called before any JAX calls")
+
+    monkeypatch.setitem(mesh_mod._DIST, "done", False)
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with _pytest.raises(RuntimeError, match="refusing to fall back"):
+        maybe_initialize_distributed()
