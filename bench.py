@@ -193,6 +193,8 @@ def main():
         log(f"train: {train_cps:.2f} clips/s ({per_step * 1000:.1f} ms/step)")
         result["train_clips_per_sec"] = train_cps
 
+    if args.suite or args.quick:
+        result.update(_image_bench(args, rng))
     if args.suite:
         result.update(_suite_benches(args, rng))
 
@@ -231,10 +233,11 @@ def main():
     }))
 
 
-def _suite_benches(args, rng):
-    """Image-model inference + video push-scan throughputs (the remaining
-    BASELINE.json config entries)."""
-    import tempfile
+def _image_bench(args, rng):
+    """Image ProtoASNet flagship (resnet18, 224^2, eval batch 128) at the
+    SHIPPED dtype (bf16 since the round-2 convergence study; --fp32 to
+    override) — also part of --quick so BENCH records track the shipped
+    config."""
     import time as _time
 
     import jax
@@ -243,11 +246,11 @@ def _suite_benches(args, rng):
     from protoasnet_tpu.models.builder import build_model, init_model
 
     out = {}
-
-    # --- Image ProtoASNet (resnet18, 224^2, eval batch 128)
     icfg = {"name": "XProtoNet", "base_architecture": "resnet18",
             "prototype_shape": (40, 512, 1, 1), "num_classes": 4,
             "img_size": 224}
+    if args.bf16:
+        icfg["dtype"] = "bfloat16"
     imodel = build_model(icfg)
     ib = 128
     ix = jnp.asarray(rng.normal(size=(ib, 224, 224, 3)).astype(np.float32))
@@ -265,8 +268,26 @@ def _suite_benches(args, rng):
     t0 = _time.time(); float(ichained(ivars, ix, n1)); t1 = _time.time() - t0
     t0 = _time.time(); float(ichained(ivars, ix, n2)); t2 = _time.time() - t0
     per = (t2 - t1) / (n2 - n1)
-    out["image_infer_imgs_per_sec"] = ib / per
-    log(f"image inference: {ib / per:.1f} imgs/s ({per * 1000:.2f} ms/batch-{ib})")
+    key = ("image_infer_imgs_per_sec_bf16" if args.bf16
+           else "image_infer_imgs_per_sec")
+    out[key] = ib / per
+    log(f"image inference ({'bf16' if args.bf16 else 'fp32'}): "
+        f"{ib / per:.1f} imgs/s ({per * 1000:.2f} ms/batch-{ib})")
+    return out
+
+
+def _suite_benches(args, rng):
+    """Video push-scan + explain-render throughputs (the remaining
+    BASELINE.json config entries)."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    out = {}
 
     # --- Push scan over a synthetic train set (video model, no rendering)
     from protoasnet_tpu.data.dataset import get_as_dataloader
@@ -314,6 +335,24 @@ def _suite_benches(args, rng):
         dt_s = run_push(small)
         dt_b = run_push(big)
         out["push_scan_clips_per_sec"] = n_s / dt_s
+
+        # --- compute-bound push rate: the same scan with every batch
+        # PRE-STAGED on device (H2D excluded) — what a PCIe-attached host
+        # would see, vs the relay-bound end-to-end number above
+        staged = []
+        for b_ in small:
+            jax.block_until_ready(b_["cine"])
+            staged.append(b_)
+        t0 = _time.time()
+        push_prototypes(staged, push_step, vparams, vstats,
+                        class_identity=vmodel.class_identity(),
+                        abstain_class=True, render=False,
+                        root_dir_for_saving_prototypes=None,
+                        replace_prototypes=True)
+        dt_c = _time.time() - t0
+        out["push_scan_compute_clips_per_sec"] = n_s / dt_c
+        log(f"push scan (device-resident, H2D excluded): {n_s} clips in "
+            f"{dt_c:.1f}s -> {n_s / dt_c:.1f} clips/s")
         # marginal rate: the per-push FIXED costs (carry sync, winner-clip
         # readback, compile-cache lookups) dominate a 40-clip set on
         # relay-attached hosts; the two-size fit cancels them — this is

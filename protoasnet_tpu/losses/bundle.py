@@ -31,6 +31,13 @@ class LossBundle:
     def _w(self, name: str, key: str = "loss_weight") -> float:
         return float(self.cfg.get(name, {}).get(key, 0.0))
 
+    @property
+    def transform_enabled(self) -> bool:
+        """True when the TransformLoss term is active (nonzero weight) —
+        the train step then folds its second forward into the main
+        backbone dispatch."""
+        return self._w("trans_occurrence") != 0.0
+
     def _red(self, name: str, default: str = "mean") -> str:
         return self.cfg.get(name, {}).get("reduction", default)
 
@@ -47,6 +54,8 @@ class LossBundle:
         occ_fn: Optional[Callable] = None,
         rng=None,
         valid: Optional[jnp.ndarray] = None,
+        occ_transformed: Optional[jnp.ndarray] = None,
+        affine_params: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """The 7-term ProtoASNet objective. Returns (total, terms dict with
         the reference's wandb log names)."""
@@ -97,7 +106,14 @@ class LossBundle:
         ) if w else zero
 
         w = self._w("trans_occurrence")
-        if w and occ_fn is not None and x is not None and rng is not None:
+        if w and occ_transformed is not None and affine_params is not None:
+            # combined-forward path: occ(affine(x)) came out of the same
+            # 2N-batch backbone dispatch as the main forward (train/steps.py)
+            terms["loss_RoiTrans"] = w * L.transform_loss_from_pair(
+                occ_transformed, occurrence_map, *affine_params,
+                reduction=self._red("trans_occurrence"),
+            )
+        elif w and occ_fn is not None and x is not None and rng is not None:
             terms["loss_RoiTrans"] = w * L.transform_loss(
                 x, occurrence_map, occ_fn, rng,
                 reduction=self._red("trans_occurrence"),

@@ -45,7 +45,9 @@ __all__ = [
     "l_norm_occurrence",
     "l_norm_fc",
     "sample_affine_params",
+    "affine_batch",
     "transform_loss",
+    "transform_loss_from_pair",
     "ce_loss_abstain",
 ]
 
@@ -193,6 +195,36 @@ def sample_affine_params(rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return angle, scale
 
 
+def affine_batch(batch: jnp.ndarray, angle: jnp.ndarray,
+                 scale: jnp.ndarray) -> jnp.ndarray:
+    """Rotate+scale every (N, [T,] H, W, C) sample by the same (angle,
+    scale), MXU-native (banded matmuls) — the gather-based warp costs
+    ~60 ms/step on TPU for the flagship shapes (see ops/affine_fast.py)."""
+    if batch.ndim == 5:
+        return jax.vmap(lambda clip: rotate_scale_video(clip, angle, scale))(batch)
+    return jax.vmap(
+        lambda img: rotate_scale_video(img[None], angle, scale)[0]
+    )(batch)
+
+
+def transform_loss_from_pair(
+    occ_of_transformed: jnp.ndarray,
+    occurrence_map: jnp.ndarray,
+    angle: jnp.ndarray,
+    scale: jnp.ndarray,
+    reduction: str = "mean",
+):
+    """L1( occ(affine(x)), affine(occ(x)) ) given a precomputed
+    occ(affine(x)) — the combined-forward train step stacks x and
+    affine(x) into one 2N-batch backbone pass (per-half BN stats) and
+    feeds the second half's occurrence map here."""
+    transformed_occ = affine_batch(occurrence_map, angle, scale)
+    loss = jnp.abs(occ_of_transformed - transformed_occ).sum()
+    if reduction == "mean":
+        loss = loss / (occurrence_map.shape[0] * occurrence_map.shape[-1])
+    return loss
+
+
 def transform_loss(
     x: jnp.ndarray,
     occurrence_map: jnp.ndarray,
@@ -208,28 +240,10 @@ def transform_loss(
     (resolution-independent, centered per resolution).
     """
     angle, scale = sample_affine_params(rng)
-    video = x.ndim == 5
-
-    def warp(batch, out_hw):
-        # MXU-native warp (banded matmuls) — the gather-based warp costs
-        # ~60 ms/step on TPU for the flagship shapes (see ops/affine_fast.py)
-        del out_hw
-        if video:
-            return jax.vmap(lambda clip: rotate_scale_video(clip, angle, scale))(batch)
-        return jax.vmap(
-            lambda img: rotate_scale_video(img[None], angle, scale)[0]
-        )(batch)
-
-    x_t = warp(x, (x.shape[-3], x.shape[-2]))
+    x_t = affine_batch(x, angle, scale)
     occ_of_transformed = occ_fn(x_t)
-    occ_hw = (occurrence_map.shape[-3], occurrence_map.shape[-2])
-    transformed_occ = warp(occurrence_map, occ_hw)
-
-    diff = jnp.abs(occ_of_transformed - transformed_occ)
-    loss = diff.sum()
-    if reduction == "mean":
-        loss = loss / (occurrence_map.shape[0] * occurrence_map.shape[-1])
-    return loss
+    return transform_loss_from_pair(occ_of_transformed, occurrence_map,
+                                    angle, scale, reduction)
 
 
 def ce_loss_abstain(

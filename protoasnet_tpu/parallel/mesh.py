@@ -58,12 +58,22 @@ def maybe_initialize_distributed() -> bool:
     save_dir is strictly worse than a crash. Returns True when running
     multi-process afterwards.
     """
+    import os
+
     if not distributed_requested():
         return False
     if _DIST["done"]:
         return jax.process_count() > 1
+    # JAX reads JAX_COORDINATOR_ADDRESS itself but num_processes/process_id
+    # only come from cluster auto-detection (Slurm/MPI/TPU-pod metadata) —
+    # pass them explicitly when the generic env vars are set so plain
+    # multi-host launches (ssh loops, test harnesses) work too.
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES", "").strip():
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ.get("JAX_PROCESS_ID", "0"))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         # TPU-pod runtimes may auto-initialize; a second initialize() then
         # raises "already initialized"-style errors while process_count is

@@ -26,7 +26,8 @@ from protoasnet_tpu.train.optim import (
     trainable_mask,
 )
 
-__all__ = ["TrainState", "make_xprotonet_steps", "make_protopnet_steps"]
+__all__ = ["TrainState", "make_xprotonet_steps", "make_xprotonet_loss_fn",
+           "make_protopnet_steps"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -54,6 +55,82 @@ def _apply_updates_with_lr(params, updates, labels, lrs: Dict[str, jnp.ndarray])
     )
 
 
+def _pair_forward(model, params, batch_stats, cine, rng, train: bool):
+    """One 2N-batch dispatch for x + affine(x): stacks the pair and vmaps
+    the model over the pair axis — XLA folds the vmapped convs into
+    single 2N-batch convolutions while BN statistics still reduce PER
+    HALF inside the vmap (the reference's TransformLoss second forward
+    computes its own batch stats, loss.py:272-320). Returns the main
+    half's outputs, the transformed half's occurrence map, the affine
+    draw, and (train only) the main half's new BN stats — the
+    transformed half's mutated running stats are discarded exactly like
+    the two-pass path."""
+    from protoasnet_tpu.losses.losses import (affine_batch,
+                                              sample_affine_params)
+
+    angle, scale = sample_affine_params(rng)
+    xx = jnp.stack([cine, affine_batch(cine, angle, scale)])
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        (logits2, sim2, occ2), mut = jax.vmap(
+            lambda x: model.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+        )(xx)
+        new_stats = jax.tree_util.tree_map(lambda s: s[0],
+                                           mut["batch_stats"])
+    else:
+        logits2, sim2, occ2 = jax.vmap(
+            lambda x: model.apply(variables, x, train=False)
+        )(xx)
+        new_stats = batch_stats
+    return logits2[0], sim2[0], occ2[0], occ2[1], (angle, scale), new_stats
+
+
+def make_xprotonet_loss_fn(model, bundle: LossBundle, class_identity,
+                           combined: bool):
+    """Train-mode loss closure shared by the step factory and the
+    combined-vs-two-pass parity test (tests/test_train_step.py)."""
+
+    def loss_fn(params, batch_stats, cine, target, valid, rng):
+        proto_kwargs = dict(
+            prototype_vectors=params["prototype_vectors"],
+            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
+            class_identity=class_identity,
+        )
+        if combined:
+            logits, sim, occ, occ_t, aff, new_stats = _pair_forward(
+                model, params, batch_stats, cine, rng, train=True
+            )
+            total, terms = bundle.xprotonet_terms(
+                logits, sim, occ, target, **proto_kwargs,
+                occ_transformed=occ_t, affine_params=aff, valid=valid,
+            )
+        else:
+            (logits, sim, occ), mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                cine, train=True, mutable=["batch_stats"],
+            )
+            new_stats = mut["batch_stats"]
+
+            def occ_fn(x_t):
+                occ_t, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x_t, train=True, mutable=["batch_stats"],
+                    method=model.compute_occurrence_map,
+                )
+                return occ_t
+
+            total, terms = bundle.xprotonet_terms(
+                logits, sim, occ, target, **proto_kwargs,
+                x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
+            )
+        aux = {"terms": terms, "logits": logits, "similarities": sim,
+               "batch_stats": new_stats}
+        return total, aux
+
+    return loss_fn
+
+
 def make_xprotonet_steps(
     model,
     bundle: LossBundle,
@@ -61,6 +138,7 @@ def make_xprotonet_steps(
     accumulation_steps: int = 1,
     stage: str = "all",
     donate: bool = True,
+    combine_transform: bool = True,
 ):
     """Returns (train_step, eval_step) for XProtoNet/Video_XProtoNet.
 
@@ -68,39 +146,21 @@ def make_xprotonet_steps(
         (new_state, metrics dict with loss terms + logits + similarities)
     eval_step(variables..., cine, target, valid, rng) -> metrics dict
     ``lrs`` is a {group_name: scalar} dict of runtime learning rates.
+
+    ``combine_transform`` (default on): when the TransformLoss is active,
+    its second forward (occ(affine(x)), reference loss.py:272-320) runs in
+    the SAME backbone dispatch as the main forward — x and affine(x) stack
+    to (2, N, ...) and the model vmaps over the pair axis. XLA folds the
+    vmapped convs into single 2N-batch convolutions (better MXU tiling at
+    small train batches) while BN statistics still reduce per half inside
+    the vmap, preserving the reference's separate-pass BN semantics; the
+    transformed half's mutated running stats are discarded exactly like
+    the two-pass path.
     """
     class_identity = jnp.asarray(model.class_identity())
-
-    def forward_train(params, batch_stats, cine, rng):
-        (logits, sim, occ), mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            cine, train=True, mutable=["batch_stats"],
-        )
-
-        def occ_fn(x_t):
-            occ_t, _ = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x_t, train=True, mutable=["batch_stats"],
-                method=model.compute_occurrence_map,
-            )
-            return occ_t
-
-        return logits, sim, occ, occ_fn, mut["batch_stats"]
-
-    def loss_fn(params, batch_stats, cine, target, valid, rng):
-        logits, sim, occ, occ_fn, new_stats = forward_train(
-            params, batch_stats, cine, rng
-        )
-        total, terms = bundle.xprotonet_terms(
-            logits, sim, occ, target,
-            prototype_vectors=params["prototype_vectors"],
-            fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
-            class_identity=class_identity,
-            x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
-        )
-        aux = {"terms": terms, "logits": logits, "similarities": sim,
-               "batch_stats": new_stats}
-        return total, aux
+    combined = bool(combine_transform) and bundle.transform_enabled
+    loss_fn = make_xprotonet_loss_fn(model, bundle, class_identity,
+                                     combined=combined)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -145,23 +205,35 @@ def make_xprotonet_steps(
     train_step = jax.jit(_train_step, donate_argnums=donate_argnums)
 
     def _eval_step(params, batch_stats, cine, target, valid, rng):
-        logits, sim, occ = model.apply(
-            {"params": params, "batch_stats": batch_stats}, cine, train=False
-        )
-
-        def occ_fn(x_t):
-            return model.apply(
-                {"params": params, "batch_stats": batch_stats}, x_t, train=False,
-                method=model.compute_occurrence_map,
-            )
-
-        total, terms = bundle.xprotonet_terms(
-            logits, sim, occ, target,
+        proto_kwargs = dict(
             prototype_vectors=params["prototype_vectors"],
             fc_kernel=params["last_layer"]["Dense_0"]["kernel"],
             class_identity=class_identity,
-            x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
         )
+        if combined:
+            logits, sim, occ, occ_t, aff, _ = _pair_forward(
+                model, params, batch_stats, cine, rng, train=False
+            )
+            total, terms = bundle.xprotonet_terms(
+                logits, sim, occ, target, **proto_kwargs,
+                occ_transformed=occ_t, affine_params=aff, valid=valid,
+            )
+        else:
+            logits, sim, occ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, cine,
+                train=False
+            )
+
+            def occ_fn(x_t):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x_t,
+                    train=False, method=model.compute_occurrence_map,
+                )
+
+            total, terms = bundle.xprotonet_terms(
+                logits, sim, occ, target, **proto_kwargs,
+                x=cine, occ_fn=occ_fn, rng=rng, valid=valid,
+            )
         return {"loss_all": total, **terms, "logits": logits,
                 "similarities": sim}
 

@@ -109,8 +109,10 @@ def test_full_model_loss_and_grad_parity():
     params = _import_head(tm, params)
     params["cnn_backbone"] = bp
     stats = {"cnn_backbone": bs}
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    # jnp.array copies (asarray would alias torch param memory; see
+    # tests/trajectory_driver.py)
+    params = jax.tree_util.tree_map(jnp.array, params)
+    stats = jax.tree_util.tree_map(jnp.array, stats)
 
     ident = prototype_class_identity(P, K)
 

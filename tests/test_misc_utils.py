@@ -117,3 +117,24 @@ def test_compose_and_mp4_writer(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 7
+
+
+def test_render_clip_panels_matches_per_frame_path():
+    """The vectorized whole-clip renderer is pixel-identical to stacking
+    the per-frame _proto_frame reference path (same truncation, layout,
+    caption strip) — the explain/push visualization speedup must not
+    change a single output pixel."""
+    import numpy as np
+
+    from protoasnet_tpu.explain.render import _proto_frame, render_clip_panels
+
+    rng = np.random.default_rng(3)
+    t, h, w = 4, 40, 48
+    unnorm = rng.uniform(size=(t, h, w, 3)).astype(np.float32)
+    rescaled = rng.uniform(size=(t, h, w)).astype(np.float32)
+    title = "p_03 | vid_7 | pred = ['0.10', '0.80'] | gt = 1"
+
+    fast = render_clip_panels(unnorm, rescaled, title)
+    for i in range(t):
+        ref = _proto_frame(unnorm[i], rescaled[i], title)
+        np.testing.assert_array_equal(fast[i], ref, err_msg=f"frame {i}")

@@ -70,6 +70,88 @@ def test_train_step_decreases_loss(setup):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_combined_transform_pass_matches_two_pass(setup):
+    """The combined 2N-batch TransformLoss forward (one vmapped backbone
+    dispatch with per-half BN stats) must reproduce the two-pass path:
+    same total loss and per-term values, same raw gradients, same updated
+    BN running stats (transformed half's stats discarded). Gradients are
+    compared (not post-Adam params): Adam's first step amplifies any
+    near-zero fp32 grad difference to a full ±lr sign flip — the same
+    noise floor the float64 trajectory suite exists to avoid."""
+    from protoasnet_tpu.train.steps import make_xprotonet_loss_fn
+
+    model, state, _ = setup
+    bundle = LossBundle(CRITERION, num_classes=4, abstain_class=True)
+    rng = np.random.default_rng(11)
+    x, y, v = _batch(rng, n=3)
+    key = jax.random.PRNGKey(9)
+    ident = jnp.asarray(model.class_identity())
+
+    outs = {}
+    for combined in (True, False):
+        loss_fn = make_xprotonet_loss_fn(model, bundle, ident,
+                                         combined=combined)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (total, aux), grads = grad_fn(state.params, state.batch_stats,
+                                      x, y, v, key)
+        outs[combined] = (total, aux, grads)
+
+    (tot_a, aux_a, g_a), (tot_b, aux_b, g_b) = outs[True], outs[False]
+    np.testing.assert_allclose(float(tot_a), float(tot_b), rtol=2e-5)
+    for k in ("loss_RoiTrans", "loss_CE", "loss_RoiNorm"):
+        np.testing.assert_allclose(float(aux_a["terms"][k]),
+                                   float(aux_b["terms"][k]), rtol=2e-5,
+                                   err_msg=f"term {k}")
+    assert float(aux_a["terms"]["loss_RoiTrans"]) != 0.0  # term is live
+    # fp32 grads through BN backward accumulate up to ~1%-of-leaf-max
+    # reduction-order noise between the two schedules; a semantic bug
+    # (e.g. joint BN stats) would be O(1). The float64 subprocess test
+    # (test_combined_transform_grads_float64) pins identity at 1e-6.
+    for ga, gb in zip(jax.tree_util.tree_leaves(g_a),
+                      jax.tree_util.tree_leaves(g_b)):
+        scale = max(float(jnp.abs(ga).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=2e-2 * scale)
+    # BN var via mean-of-squares cancels catastrophically in fp32; the
+    # float64 driver pins stats identity at 1e-10
+    for sa, sb in zip(jax.tree_util.tree_leaves(aux_a["batch_stats"]),
+                      jax.tree_util.tree_leaves(aux_b["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   rtol=1e-3, atol=1e-5)
+
+    # the combined EVAL step also matches the two-pass eval
+    evs = {}
+    for combined in (True, False):
+        tx = make_adam(params=state.params)
+        _, ev, _ = make_xprotonet_steps(model, bundle, tx, donate=False,
+                                        combine_transform=combined)
+        evs[combined] = ev(state.params, state.batch_stats, x, y, v, key)
+    for k in ("loss_all", "loss_RoiTrans"):
+        np.testing.assert_allclose(float(evs[True][k]), float(evs[False][k]),
+                                   rtol=2e-5, err_msg=f"eval term {k}")
+
+
+@pytest.mark.slow
+def test_combined_transform_grads_float64():
+    """Subprocess (x64 is process-global): the combined pass is
+    mathematically identical to two passes — grads within 1e-6 of leaf
+    max at float64 (see tests/combined_transform_driver.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "tests", "combined_transform_driver.py")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=900,
+    )
+    assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
+    assert "COMBINED_TRANSFORM_OK" in r.stdout, r.stdout
+
+
 def test_eval_step_runs_and_matches_shapes(setup):
     model, state, (train_step, eval_step, push_step) = setup
     rng = np.random.default_rng(1)

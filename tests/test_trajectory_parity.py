@@ -26,12 +26,28 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_train_push_replace_train_trajectory_matches_torch():
+def _run_driver(name: str, token: str) -> None:
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # no virtual-device mesh needed
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tests", "trajectory_driver.py")],
+        [sys.executable, os.path.join(REPO, "tests", name)],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=900,
     )
     assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
-    assert "TRAJECTORY_OK" in r.stdout, r.stdout
+    assert token in r.stdout, r.stdout
+
+
+def test_train_push_replace_train_trajectory_matches_torch():
+    _run_driver("trajectory_driver.py", "TRAJECTORY_OK")
+
+
+def test_staged_three_optimizer_trajectory_matches_torch():
+    """warm -> joint -> push -> 5x last-only -> joint resume with three
+    separate Adam states (VERDICT round-2 item 4a)."""
+    _run_driver("trajectory_staged_driver.py", "STAGED_TRAJECTORY_OK")
+
+
+def test_protopnet_patch_push_trajectory_matches_torch():
+    """ProtoPNet L2-patch head + staged schedule + patch push
+    (VERDICT round-2 item 4b)."""
+    _run_driver("trajectory_protopnet_driver.py", "PROTOPNET_TRAJECTORY_OK")

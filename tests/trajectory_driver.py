@@ -23,8 +23,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/protoasnet_jax_test_cache")
+import tempfile
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(tempfile.gettempdir(),
+                 f"protoasnet_jax_test_cache_{os.getuid()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -144,8 +148,11 @@ def main():
         num_stages=3)
     params = _import_head(tm, params)
     params["cnn_backbone"] = bp
-    stats = {"cnn_backbone": jax.tree_util.tree_map(jnp.asarray, bs)}
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # jnp.array COPIES (jnp.asarray zero-copy-aliases float64 numpy views
+    # of torch parameter memory; torch's in-place opt.step() would then
+    # corrupt async-deferred jax computations reading them)
+    stats = {"cnn_backbone": jax.tree_util.tree_map(jnp.array, bs)}
+    params = jax.tree_util.tree_map(jnp.array, params)
     leaf_dtypes = {a.dtype for a in jax.tree_util.tree_leaves(params)}
     assert leaf_dtypes == {jnp.dtype(jnp.float64)}, leaf_dtypes
 
