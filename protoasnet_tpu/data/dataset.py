@@ -23,8 +23,6 @@ import hashlib
 import json
 import logging
 import os
-import queue as queue_mod
-import threading
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -244,13 +242,6 @@ class ASClipDataset:
         }
 
 
-class _ProducerError:
-    """Marker carrying a producer-thread exception to the consumer loop."""
-
-    def __init__(self, exc: BaseException):
-        self.exc = exc
-
-
 class ClipLoader:
     """Batched iterator: host gather (background thread) + device transform.
 
@@ -317,6 +308,15 @@ class ClipLoader:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # Threading layout (round-3 redesign, measured on the relay-attached
+        # TPU host — experiments/push_h2d_probe.py + BASELINE.md):
+        # worker threads run HOST-ONLY numpy gathers; every JAX call
+        # (staging H2D + device preprocess) happens in THIS consumer
+        # thread. JAX's async dispatch already overlaps batch k+1's
+        # transfer with batch k's compute from a single thread, while a
+        # second jax-dispatching thread degrades both ~3-6x through the
+        # relay client (push scan measured 20 clips/s threaded-staging vs
+        # 130 clips/s consumer-staged on identical data).
         import jax
 
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch]))
@@ -345,11 +345,13 @@ class ClipLoader:
         def host_batches():
             if self.num_workers > 1:
                 # in-order sliding window of futures: up to num_workers
-                # gathers run concurrently, results yield in batch order
+                # gathers run concurrently (host numpy only — no jax in
+                # worker threads), results arrive in batch order
                 from collections import deque
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(self.num_workers) as ex:
+                ex = ThreadPoolExecutor(self.num_workers)
+                try:
                     pending: "deque" = deque()
                     nxt = 0
                     ahead = self.num_workers + self.prefetch
@@ -362,78 +364,44 @@ class ClipLoader:
                             pending.append(ex.submit(gather_batch, nxt))
                             nxt += 1
                         yield hb
+                finally:
+                    # abandoned epoch: drop queued gathers, don't block on
+                    # them (in-flight ones finish in the background)
+                    ex.shutdown(wait=False, cancel_futures=True)
             else:
                 for bi in range(n_batches):
                     yield gather_batch(bi)
 
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        stop = threading.Event()  # set when the consumer abandons the epoch
-
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue_mod.Full:
-                    continue
-            return False
-
-        def producer():
-            # staging runs IN the producer thread (JAX dispatch is
-            # thread-safe): batch k+1's host->device transfer overlaps
-            # batch k's compute — double-buffering that matters on
-            # relay-attached hosts where H2D bandwidth, not the device,
-            # bounds scan loops like push. The PRNG key chain stays in
-            # batch order because this thread is the only key consumer.
-            nonlocal key
-            step = 0
-            try:
-                for hb in host_batches():
-                    key, sub = jax.random.split(key)
-                    cine, gt_dev, valid_dev = self._stage(
-                        hb.pop("clip_u8"), hb["t_len"],
-                        sub if self.augment else None,
-                        hb["target_AS"], hb["valid"],
-                    )
-                    hb["cine"] = cine
-                    # device copies of label/mask (host numpy stays for
-                    # metrics)
-                    hb["target_AS_dev"] = gt_dev
-                    hb["valid_dev"] = valid_dev
-                    hb["step"] = step
-                    step += 1
-                    if not _put(hb):
-                        # consumer gone: exiting unwinds host_batches'
-                        # executor so worker threads + in-flight batches
-                        # are released rather than leaked
-                        break
-            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-                # A gather/stage failure must surface in the TRAINING loop,
-                # not vanish on this daemon thread's stderr leaving a short
-                # but apparently-successful epoch (torch DataLoader worker
-                # semantics: worker errors re-raise at the next next()).
-                _put(_ProducerError(e))
-            finally:
-                # blocks while the consumer is alive (it must see the
-                # sentinel); gives up only once `stop` marks it gone
-                _put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-
+        step = 0
+        gen = host_batches()
         try:
             while True:
-                hb = q.get()
-                if hb is sentinel:
+                try:
+                    hb = next(gen)
+                except StopIteration:
                     break
-                if isinstance(hb, _ProducerError):
+                except BaseException as e:  # noqa: BLE001
+                    # gather failures surface HERE in the consumer loop
+                    # (torch DataLoader worker-error semantics), never as
+                    # a silently short epoch
                     raise RuntimeError(
                         "dataloader worker failed (epoch aborted)"
-                    ) from hb.exc
+                    ) from e
+                key, sub = jax.random.split(key)
+                cine, gt_dev, valid_dev = self._stage(
+                    hb.pop("clip_u8"), hb["t_len"],
+                    sub if self.augment else None,
+                    hb["target_AS"], hb["valid"],
+                )
+                hb["cine"] = cine
+                # device copies of label/mask (host numpy stays for metrics)
+                hb["target_AS_dev"] = gt_dev
+                hb["valid_dev"] = valid_dev
+                hb["step"] = step
+                step += 1
                 yield hb
         finally:
-            stop.set()
+            gen.close()
 
 
 def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,
