@@ -23,7 +23,9 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from protoasnet_tpu.explain.render import (
+    compose_panel_clip,
     compose_panel_frame,
+    heatmap_clip,
     make_heatmap,
     upsample_occurrence_map,
     write_video_or_frames,
@@ -100,21 +102,31 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
         p_img = p_up = None
 
     labels = ("input", "input overlay", "prototype overlay", "prototype")
-    frames = []
-    for t in (range(img.shape[0]) if video else [None]):
-        cur = img[t] if video else img
-        cur_up = up[t] if video else up
-        panels = [cur, 0.5 * cur + 0.3 * make_heatmap(cur_up)]
+    if video:
+        # vectorized whole-clip composition (pixel-identical to the
+        # per-frame compose_panel_frame loop; see render.py)
+        t_len = img.shape[0]
+        panels = [img, 0.5 * img + 0.3 * heatmap_clip(up)]
         if p_img is not None:
-            pc = p_img[t % p_img.shape[0]] if p_img.ndim == 4 else p_img
-            pu = p_up[t % p_up.shape[0]] if p_up.ndim == 3 and video else p_up
-            panels += [0.5 * pc + 0.3 * make_heatmap(pu), pc]
-        frames.append(compose_panel_frame(panels, title,
-                                          labels=labels[: len(panels)]))
-    if video and len(frames) > 1:
-        write_video_or_frames(frames, out_base, fps=5)
-    else:
-        Image.fromarray(frames[0]).save(out_base + ".png")
+            ti = np.arange(t_len)
+            pc = (p_img[ti % p_img.shape[0]] if p_img.ndim == 4
+                  else np.broadcast_to(p_img, (t_len,) + p_img.shape))
+            pu = (p_up[ti % p_up.shape[0]] if p_up.ndim == 3
+                  else np.broadcast_to(p_up, (t_len,) + p_up.shape))
+            panels += [0.5 * pc + 0.3 * heatmap_clip(pu), pc]
+        frames = compose_panel_clip(panels, title,
+                                    labels=labels[: len(panels)])
+        if len(frames) > 1:
+            write_video_or_frames(frames, out_base, fps=5)
+        else:
+            Image.fromarray(frames[0]).save(out_base + ".png")
+        return
+
+    panels = [img, 0.5 * img + 0.3 * make_heatmap(up)]
+    if p_img is not None:
+        panels += [0.5 * p_img + 0.3 * make_heatmap(p_up), p_img]
+    frame = compose_panel_frame(panels, title, labels=labels[: len(panels)])
+    Image.fromarray(frame).save(out_base + ".png")
 
 
 def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
@@ -131,18 +143,19 @@ def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
     out_dir = os.path.join(out_root, "input_overlaid")
     makedir(out_dir)
     video = img.ndim == 4
-    frames = []
-    for t in (range(img.shape[0]) if video else [None]):
-        cur = img[t] if video else img
-        cur_up = up[t] if video else up
-        overlay = np.clip(0.5 * cur + 0.3 * make_heatmap(cur_up), 0, 1)
-        frames.append((overlay * 255).astype(np.uint8))
-    if video and len(frames) > 1:
-        write_video_or_frames(
-            frames, os.path.join(out_dir, f"{sample_id:04d}"), fps=5)
+    if video:
+        overlay = np.clip(0.5 * img + 0.3 * heatmap_clip(up), 0, 1)
+        frames = (overlay * 255).astype(np.uint8)
+        if len(frames) > 1:
+            write_video_or_frames(
+                frames, os.path.join(out_dir, f"{sample_id:04d}"), fps=5)
+            return
+        frame = frames[0]
     else:
-        Image.fromarray(frames[0]).save(
-            os.path.join(out_dir, f"{sample_id:04d}_0.png"))
+        overlay = np.clip(0.5 * img + 0.3 * make_heatmap(up), 0, 1)
+        frame = (overlay * 255).astype(np.uint8)
+    Image.fromarray(frame).save(
+        os.path.join(out_dir, f"{sample_id:04d}_0.png"))
 
 
 def explain_local(agent, mode: str = "test", top_k: int = 3,

@@ -23,10 +23,10 @@ import numpy as np
 
 from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 
-__all__ = ["upsample_occurrence_map", "make_heatmap", "prototype_plot",
-           "compose_panel_frame", "render_clip_panels", "write_video_frames",
-           "write_video", "write_gif", "remove_images",
-           "write_video_or_frames"]
+__all__ = ["upsample_occurrence_map", "make_heatmap", "heatmap_clip",
+           "prototype_plot", "compose_panel_frame", "compose_panel_clip",
+           "render_clip_panels", "write_video_frames", "write_video",
+           "write_gif", "remove_images", "write_video_or_frames"]
 
 _CAPTION_H = 22
 
@@ -222,16 +222,29 @@ def _proto_frame(unnorm_img, rescaled, title) -> np.ndarray:
 _PROTO_LABELS = ("base", "masked", "overlay", "mask")
 
 
-def render_clip_panels(unnorm: np.ndarray, rescaled: np.ndarray,
-                       title: str, scale: int = 2) -> np.ndarray:
-    """All T frames of the 4-panel prototype figure in one vectorized pass.
+def heatmap_clip(rescaled: np.ndarray) -> np.ndarray:
+    """(T, H, W) [0,1] map -> (T, H, W, 3) TURBO heatmap in ONE colormap
+    call (identical quantization to per-frame make_heatmap)."""
+    import cv2
 
-    unnorm: (T, H, W, 3) float [0,1]; rescaled: (T, H, W) float [0,1].
-    Returns (T, Hc, Wc, 3) uint8 — pixel-identical to stacking
-    ``_proto_frame`` per frame (tests/test_misc_utils.py), but one cv2
-    colormap call, preallocated uint8 assembly, and ONE PIL caption strip
-    replace T rounds of float concatenation + canvas text. ~10x on the
-    1-core host (the round-2 bench's slowest stage at 1.75 clips/s).
+    t, h, w = rescaled.shape
+    hm = cv2.applyColorMap(np.uint8(255 * np.clip(rescaled, 0.0, 1.0))
+                           .reshape(t * h, w), cv2.COLORMAP_TURBO)
+    return np.float32(hm[..., ::-1]).reshape(t, h, w, 3) / 255.0
+
+
+def compose_panel_clip(panels, title: str,
+                       labels: Optional[Sequence[str]] = None,
+                       colorbar: bool = False, scale: int = 2,
+                       panels8=None) -> np.ndarray:
+    """Vectorized ``compose_panel_frame`` over a leading T axis.
+
+    panels: list of (T, H, W, 3) float [0,1] arrays (``panels8`` entries,
+    if given, are pre-quantized uint8 and appended after them). Returns
+    (T, Hc, Wc, 3) uint8, pixel-identical to composing each frame with
+    ``compose_panel_frame`` — but with preallocated uint8 assembly, ONE
+    cv2 nearest resize for the scale step, and ONE PIL caption strip
+    instead of T canvases. ~10x on the 1-core host.
 
     Device-side composition was considered (VERDICT round-2 item 6) and
     rejected for this host: the composed panels are ~45 MB/clip uint8 and
@@ -240,48 +253,40 @@ def render_clip_panels(unnorm: np.ndarray, rescaled: np.ndarray,
     """
     import cv2
 
-    t, h, w, _ = unnorm.shape
-    unnorm = np.clip(unnorm, 0.0, 1.0)
-    rescaled = np.clip(rescaled, 0.0, 1.0)
-    occ8 = np.uint8(255 * rescaled)  # same quantization as make_heatmap
-    turbo = cv2.applyColorMap(occ8.reshape(t * h, w), cv2.COLORMAP_TURBO)
-    turbo = np.float32(turbo[..., ::-1]).reshape(t, h, w, 3) / 255.0
-    vir8 = cv2.applyColorMap(occ8.reshape(t * h, w), cv2.COLORMAP_VIRIDIS)
-    vir8 = vir8[..., ::-1].reshape(t, h, w, 3)
-
     def u8(x):  # same truncation as compose_panel_frame's (*255).astype
         return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
 
-    panels8 = [
-        u8(unnorm),
-        u8(unnorm * rescaled[..., None]),
-        u8(0.5 * unnorm + 0.3 * turbo),
-        vir8,
-    ]
+    all8 = [u8(p) for p in panels] + list(panels8 or [])
+    t, h, w, _ = all8[0].shape
+    n = len(all8)
     pad_w, cb_w = 6, 8
-    wtot = 4 * w + 4 * pad_w + cb_w
+    wtot = n * w + (n - 1) * pad_w + (pad_w + cb_w if colorbar else 0)
     out = np.full((t, h, wtot, 3), 255, np.uint8)
     x0 = 0
-    for p in panels8:
+    for p in all8:
         out[:, :, x0:x0 + w] = p
         x0 += w + pad_w
-    grad = np.linspace(1.0, 0.0, h, dtype=np.float32)[:, None]
-    out[:, :, x0:x0 + cb_w] = u8(_viridis(np.repeat(grad, cb_w, axis=1)))
+    if colorbar:
+        grad = np.linspace(1.0, 0.0, h, dtype=np.float32)[:, None]
+        out[:, :, x0:x0 + cb_w] = u8(_viridis(np.repeat(grad, cb_w,
+                                                        axis=1)))
 
     # caption + per-panel labels: identical text every frame -> render ONE
     # strip through PIL and prepend it to all frames
     from PIL import Image, ImageDraw
 
     hh, ww = h * scale, wtot * scale
-    strip = Image.new("RGB", (ww, 2 * _CAPTION_H), "white")
+    label_h = _CAPTION_H if labels else 0
+    strip = Image.new("RGB", (ww, _CAPTION_H + label_h), "white")
     draw = ImageDraw.Draw(strip)
     draw.text((4, 4), title[: ww // 6], fill=(0, 0, 0))
-    for i, lab in enumerate(_PROTO_LABELS):
+    for i, lab in enumerate(labels or ()):
         draw.text((4 + i * (w + pad_w) * scale, _CAPTION_H + 3), lab,
                   fill=(60, 60, 60))
 
-    full = np.empty((t, 2 * _CAPTION_H + hh, ww, 3), np.uint8)
-    full[:, :2 * _CAPTION_H] = np.asarray(strip)
+    top = _CAPTION_H + label_h
+    full = np.empty((t, top + hh, ww, 3), np.uint8)
+    full[:, :top] = np.asarray(strip)
     if scale > 1:
         # one cv2 nearest resize over the stacked (t*h, wtot) sheet: for an
         # exact integer scale nearest == per-frame repeat (row r maps to
@@ -289,10 +294,35 @@ def render_clip_panels(unnorm: np.ndarray, rescaled: np.ndarray,
         # faster than two np.repeat passes
         big = cv2.resize(out.reshape(t * h, wtot, 3), (ww, t * hh),
                          interpolation=cv2.INTER_NEAREST)
-        full[:, 2 * _CAPTION_H:] = big.reshape(t, hh, ww, 3)
+        full[:, top:] = big.reshape(t, hh, ww, 3)
     else:
-        full[:, 2 * _CAPTION_H:] = out
+        full[:, top:] = out
     return full
+
+
+def render_clip_panels(unnorm: np.ndarray, rescaled: np.ndarray,
+                       title: str, scale: int = 2) -> np.ndarray:
+    """All T frames of the 4-panel prototype figure in one vectorized pass.
+
+    unnorm: (T, H, W, 3) float [0,1]; rescaled: (T, H, W) float [0,1].
+    Pixel-identical to stacking ``_proto_frame`` per frame
+    (tests/test_misc_utils.py); see compose_panel_clip for the speedup
+    mechanics.
+    """
+    import cv2
+
+    t, h, w, _ = unnorm.shape
+    unnorm = np.clip(unnorm, 0.0, 1.0)
+    rescaled = np.clip(rescaled, 0.0, 1.0)
+    turbo = heatmap_clip(rescaled)
+    occ8 = np.uint8(255 * rescaled)
+    vir8 = cv2.applyColorMap(occ8.reshape(t * h, w), cv2.COLORMAP_VIRIDIS)
+    vir8 = vir8[..., ::-1].reshape(t, h, w, 3)
+    return compose_panel_clip(
+        [unnorm, unnorm * rescaled[..., None], 0.5 * unnorm + 0.3 * turbo],
+        title, labels=_PROTO_LABELS, colorbar=True, scale=scale,
+        panels8=[vir8],
+    )
 
 
 def prototype_plot(img, occurrence_map, proto_id, fn, pred, gt, proto_dir,

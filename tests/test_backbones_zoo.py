@@ -7,7 +7,10 @@ from protoasnet_tpu.models.backbones import make_backbone
 
 
 @pytest.mark.parametrize("name,out_c", [
-    ("densenet121", 1024),
+    # densenet121's 58-layer compile costs ~50 s on this 1-core host;
+    # slow-marked — densenet coverage stays in the fast loop via
+    # test_densenet_conv_info + test_protopnet_with_densenet_backbone
+    pytest.param("densenet121", 1024, marks=pytest.mark.slow),
     ("vgg11", 512),
     ("vgg11_bn", 512),
 ])

@@ -138,3 +138,27 @@ def test_render_clip_panels_matches_per_frame_path():
     for i in range(t):
         ref = _proto_frame(unnorm[i], rescaled[i], title)
         np.testing.assert_array_equal(fast[i], ref, err_msg=f"frame {i}")
+
+
+def test_compose_panel_clip_matches_per_frame_path():
+    """The generic vectorized composer (used by explain_local's video
+    panels) is pixel-identical to composing each frame with
+    compose_panel_frame — including the 2-panel no-colorbar layout."""
+    import numpy as np
+
+    from protoasnet_tpu.explain.render import (compose_panel_clip,
+                                               compose_panel_frame,
+                                               heatmap_clip, make_heatmap)
+
+    rng = np.random.default_rng(7)
+    t, h, w = 3, 40, 44
+    img = rng.uniform(size=(t, h, w, 3)).astype(np.float32)
+    up = rng.uniform(size=(t, h, w)).astype(np.float32)
+    labels = ("input", "input overlay")
+    fast = compose_panel_clip([img, 0.5 * img + 0.3 * heatmap_clip(up)],
+                              "a title", labels=labels)
+    for i in range(t):
+        ref = compose_panel_frame(
+            [img[i], 0.5 * img[i] + 0.3 * make_heatmap(up[i])],
+            "a title", labels=labels)
+        np.testing.assert_array_equal(fast[i], ref, err_msg=f"frame {i}")

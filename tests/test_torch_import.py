@@ -236,8 +236,12 @@ class TVDenseLayer(nn.Module):
         return torch.cat([x, y], 1)
 
 
+@pytest.mark.slow
 def test_densenet_import_forward_parity():
-    """Golden vs a torchvision-layout densenet121 features trunk."""
+    """Golden vs a torchvision-layout densenet121 features trunk.
+
+    slow-marked: the densenet compile + torch twin costs ~25 s on this
+    1-core host; the full suite always runs it."""
     from protoasnet_tpu.models.backbones.densenet import (
         DENSENET_SPECS,
         DenseNetFeatures,
