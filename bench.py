@@ -368,6 +368,65 @@ def _suite_benches(args, rng):
             log("push marginal: SKIPPED — big-set run not measurably "
                 "slower (timing noise or a stray recompile); fit invalid")
 
+        # --- REAL training epoch: synthetic dataset through the full
+        # loader (gather + augment + staged H2D) feeding the bf16 train
+        # step — the end-to-end number the consumer-thread staging
+        # redesign moves (BASELINE.md round-3), vs the device-resident
+        # `train_clips_per_sec` above
+        from protoasnet_tpu.train.optim import GROUPS
+        from protoasnet_tpu.train.steps import TrainState
+
+        train_csv = os.path.join(tmp, "b", "manifest.csv")
+        dtrain = {"data_info_file": train_csv, "view": "all",
+                  "sample_size": None, "sampler": "random",
+                  "augmentation": True, "transform_rotate_degrees": 10,
+                  "transform_min_crop_ratio": 0.7,
+                  "transform_time_dilation": 0.2, "normalize": True,
+                  "img_size": 112, "frames": 32, "batch_size": 8,
+                  "iterate_intervals": False, "interval_unit": "cycle",
+                  "interval_quant": 1.0, "num_workers": 2}
+        tloader = get_as_dataloader(dtrain, "train", "train", seed=0)
+        tmodel = build_model({**vcfg, "dtype": "bfloat16"} if args.bf16
+                             else vcfg)
+        tparams, tstats = init_model(tmodel, vx, seed=0)
+        criterion = {
+            "CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.3,
+                              "ab_logitpath": "joined", "reduction": "mean"},
+            "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"},
+            "SeparationRoiFeat": {"loss_weight": 0.08, "reduction": "mean"},
+            "trans_occurrence": {"loss_weight": 0.001, "reduction": "mean"},
+            "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
+        }
+        tbundle = LossBundle(criterion, 4, True)
+        ttx = make_adam(weight_decay_by_group={g: 1e-3 for g in GROUPS},
+                        params=tparams)
+        tstep, _, _ = make_xprotonet_steps(tmodel, tbundle, ttx,
+                                           accumulation_steps=1,
+                                           stage="all", donate=False)
+        tstate = TrainState.create(tparams, tstats, ttx)
+        lrs = {g: jnp.float32(1e-4) for g in GROUPS}
+        key = jax.random.PRNGKey(0)
+
+        def run_epoch(epoch):
+            nonlocal tstate, key
+            tloader.set_epoch(epoch)
+            n = 0
+            t0 = _time.time()
+            m = None
+            for bt in tloader:
+                key, sub = jax.random.split(key)
+                tstate, m = tstep(tstate, bt["cine"], bt["target_AS_dev"],
+                                  bt["valid_dev"], sub, lrs)
+                n += int(bt["cine"].shape[0])
+            float(m["loss_all"])
+            return n, _time.time() - t0
+
+        run_epoch(0)  # warm: compiles + store build
+        n_e, dt_e = run_epoch(1)
+        out["train_epoch_clips_per_sec"] = n_e / dt_e
+        log(f"train epoch (loader+augment+step, end-to-end): {n_e} clips "
+            f"in {dt_e:.1f}s -> {n_e / dt_e:.1f} clips/s")
+
         # --- Explain/push rendering (PIL panel composition + MP4 write),
         # the host-side cost of every prototype visualization
         from protoasnet_tpu.explain.render import prototype_plot
