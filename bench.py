@@ -264,7 +264,10 @@ def _image_bench(args, rng):
         return jax.lax.fori_loop(0, n, body, x).sum()
 
     float(ichained(ivars, ix, 1))
-    n1, n2 = (2, 6) if args.quick else (3, 13)
+    # the image batch runs in ~1.5-4 ms, so the two iteration counts must
+    # differ by enough device time (>= ~0.5 s) to rise above relay jitter
+    # — (3, 13) measured 2.6x run-to-run swings
+    n1, n2 = (10, 60) if args.quick else (20, 220)
     t0 = _time.time(); float(ichained(ivars, ix, n1)); t1 = _time.time() - t0
     t0 = _time.time(); float(ichained(ivars, ix, n2)); t2 = _time.time() - t0
     per = (t2 - t1) / (n2 - n1)
