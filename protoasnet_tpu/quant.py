@@ -1,0 +1,196 @@
+"""Post-training w8a8 quantization for the serving path (TPU int8 MXU).
+
+The v5e MXU runs int8xint8->int32 at ~2x its bf16 rate (measured 383 TOPS
+vs 202 TF/s on 4096^3 GEMMs, experiments/int8_probe.py), and int8
+activations halve the HBM traffic that bounds the low-arithmetic-intensity
+temporal convs. This module converts a trained model's backbone convs to
+static w8a8 WITHOUT touching any model code:
+
+  1. ``calibrate_act_scales`` runs calibration batches through the model
+     with a flax method interceptor that ``sow``s the running absmax of
+     every backbone conv input (jit-compatible; one number per conv).
+  2. ``build_qstate`` folds the trained kernels to per-output-channel
+     symmetric int8 (+ scales) keyed by module path.
+  3. ``apply_quantized`` re-runs the model under a second interceptor that
+     swaps each calibrated ``nn.Conv`` for: static-scale int8 quantize ->
+     int8 conv (int32 accumulate on the MXU) -> per-channel dequant.
+
+Scheme: symmetric int8, per-tensor static activation scales (absmax/127
+from calibration; post-ReLU inputs use the non-negative half — effectively
+7-bit — keeping the conv free of zero-point cross terms), per-output-
+channel weight scales. Everything outside the backbone (add-on layers,
+occurrence module, the parity-critical prototype head) runs untouched at
+the model's own precision.
+
+The reference has no quantization story; this is a deployment subsystem
+the TPU port adds (serving export lives in serve.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "calibrate_act_scales",
+    "build_qstate",
+    "apply_quantized",
+    "default_backbone_filter",
+]
+
+Path = Tuple[str, ...]
+
+
+def default_backbone_filter(path: Path) -> bool:
+    """Quantize only backbone convs (the FLOPs majority); heads stay put."""
+    return len(path) > 0 and path[0] == "cnn_backbone"
+
+
+def _is_plain_conv(m: nn.Module) -> bool:
+    """True for the vanilla convs we know how to quantize exactly."""
+    if not isinstance(m, nn.Conv):
+        return False
+    if getattr(m, "feature_group_count", 1) != 1:
+        return False
+    for attr in ("kernel_dilation", "input_dilation"):
+        v = getattr(m, attr, None)
+        if v is None or isinstance(v, int):
+            if v not in (None, 1):
+                return False
+        elif any(d != 1 for d in v):
+            return False
+    return True
+
+
+def calibrate_act_scales(model, variables, batches: Sequence[Any],
+                         path_filter: Callable[[Path], bool] = default_backbone_filter,
+                         pass_train: bool = True,
+                         **apply_kwargs) -> Dict[Path, jnp.ndarray]:
+    """Run ``batches`` through ``model`` recording each conv input's absmax.
+
+    Returns {module_path: scalar activation scale (absmax / 127)}.
+    The forward per batch is jitted; absmax reduces across batches on host.
+    """
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if (_is_plain_conv(m) and context.method_name == "__call__"
+                and path_filter(m.path)):
+            x = args[0]
+            m.sow("act_stats", "absmax",
+                  jnp.max(jnp.abs(x)).astype(jnp.float32),
+                  reduce_fn=jnp.maximum,
+                  init_fn=lambda: jnp.zeros((), jnp.float32))
+        return next_fn(*args, **kwargs)
+
+    if pass_train:
+        apply_kwargs = {"train": False, **apply_kwargs}
+
+    @jax.jit
+    def one_batch(variables, x):
+        with nn.intercept_methods(interceptor):
+            _, upd = model.apply(variables, x, mutable=["act_stats"],
+                                 **apply_kwargs)
+        return upd["act_stats"]
+
+    absmax: Dict[Path, jnp.ndarray] = {}
+
+    def _walk(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                _walk(v, prefix + (k,))
+            else:  # leaf named "absmax" at the conv module's path
+                path = prefix
+                cur = absmax.get(path)
+                val = jnp.asarray(v, jnp.float32)
+                absmax[path] = val if cur is None else jnp.maximum(cur, val)
+
+    for x in batches:
+        _walk(jax.device_get(one_batch(variables, x)), ())
+
+    return {p: jnp.maximum(a, 1e-8) / 127.0 for p, a in absmax.items()}
+
+
+def _params_at(params, path: Path):
+    node = params
+    for k in path:
+        node = node[k]
+    return node
+
+
+def build_qstate(variables, act_scales: Dict[Path, jnp.ndarray]
+                 ) -> Dict[Path, Dict[str, jnp.ndarray]]:
+    """Per-output-channel symmetric int8 kernels for every calibrated conv.
+
+    Returns a pytree (dict keyed by module path) safe to pass through jit:
+      {path: {"w_q": int8 kernel, "w_scale": (cout,) f32,
+              "a_scale": scalar f32[, "bias": (cout,) f32]}}
+    """
+    qstate: Dict[Path, Dict[str, jnp.ndarray]] = {}
+    for path, a_scale in act_scales.items():
+        leaf = _params_at(variables["params"], path)
+        w = jnp.asarray(leaf["kernel"], jnp.float32)
+        reduce_axes = tuple(range(w.ndim - 1))
+        w_absmax = jnp.maximum(jnp.max(jnp.abs(w), axis=reduce_axes), 1e-8)
+        w_scale = w_absmax / 127.0
+        w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        entry = {"w_q": w_q, "w_scale": w_scale,
+                 "a_scale": jnp.asarray(a_scale, jnp.float32)}
+        if "bias" in leaf:
+            entry["bias"] = jnp.asarray(leaf["bias"], jnp.float32)
+        qstate[path] = entry
+    return qstate
+
+
+_DIM_NUMS = {1: ("NWC", "WIO", "NWC"),
+             2: ("NHWC", "HWIO", "NHWC"),
+             3: ("NDHWC", "DHWIO", "NDHWC")}
+
+
+def _canon_strides(strides, rank: int):
+    if strides is None:
+        return (1,) * rank
+    if isinstance(strides, int):
+        return (strides,) * rank
+    return tuple(strides)
+
+
+def apply_quantized(model, variables, qstate, x, method=None,
+                    pass_train: bool = True, **apply_kwargs):
+    """``model.apply`` with every conv in ``qstate`` swapped to int8.
+
+    Pure in (variables, qstate, x) — jit it with all three as arguments.
+    Convs NOT in qstate (heads, stem space-to-depth) run unchanged.
+    """
+    if pass_train:
+        apply_kwargs = {"train": False, **apply_kwargs}
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if (isinstance(m, nn.Conv) and context.method_name == "__call__"
+                and tuple(m.path) in qstate):
+            q = qstate[tuple(m.path)]
+            xin = args[0]
+            rank = xin.ndim - 2
+            inv = 1.0 / q["a_scale"]
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) * inv),
+                          -127, 127).astype(jnp.int8)
+            dn = lax.conv_dimension_numbers(xin.shape, q["w_q"].shape,
+                                            _DIM_NUMS[rank])
+            y = lax.conv_general_dilated(
+                xq, q["w_q"], _canon_strides(m.strides, rank), m.padding,
+                dimension_numbers=dn, preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (q["a_scale"] * q["w_scale"])
+            if "bias" in q:
+                y = y + q["bias"]
+            return y.astype(xin.dtype)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        if method is None:
+            return model.apply(variables, x, **apply_kwargs)
+        return model.apply(variables, x, method=method, **apply_kwargs)

@@ -1,0 +1,132 @@
+"""w8a8 post-training quantization (protoasnet_tpu/quant.py).
+
+Pins: (a) exact golden math on a single conv, (b) empty-qstate identity,
+(c) end-to-end logit fidelity on a briefly-trained tiny flagship model,
+(d) only backbone convs quantize under the default filter.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protoasnet_tpu.models.builder import build_model, init_model
+from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                  calibrate_act_scales)
+
+
+def test_single_conv_golden_math():
+    """Quantized conv == manual quantize -> int conv -> dequant, exactly."""
+    conv = nn.Conv(5, (3, 3), padding="SAME", use_bias=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    variables = conv.init(jax.random.PRNGKey(0), x)
+
+    scales = calibrate_act_scales(conv, variables, [x],
+                                  path_filter=lambda p: True,
+                                  pass_train=False)
+    assert set(scales) == {()}
+    np.testing.assert_allclose(float(scales[()]),
+                               float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6)
+
+    qstate = build_qstate(variables, scales)
+    got = apply_quantized(conv, variables, qstate, x, pass_train=False)
+
+    w = np.asarray(variables["params"]["kernel"], np.float64)
+    w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+    w_q = np.clip(np.round(w / w_scale), -127, 127)
+    a_scale = float(scales[()])
+    x_q = np.clip(np.round(np.asarray(x, np.float64) / a_scale), -127, 127)
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q, jnp.float32), jnp.asarray(w_q, jnp.float32),
+        (1, 1), "SAME",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+    want = (np.asarray(acc, np.float64) * (a_scale * w_scale)
+            + np.asarray(variables["params"]["bias"], np.float64))
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=1e-5, atol=1e-5)
+    # and it's a faithful approximation of the fp conv
+    fp = conv.apply(variables, x)
+    assert float(jnp.max(jnp.abs(fp - got))) < 0.05 * float(
+        jnp.max(jnp.abs(fp)))
+
+
+@pytest.fixture(scope="module")
+def tiny_trained():
+    """A tiny flagship model trained a few steps so logits are non-trivial."""
+    from protoasnet_tpu.losses.bundle import LossBundle
+    from protoasnet_tpu.train.optim import make_adam
+    from protoasnet_tpu.train.steps import TrainState, make_xprotonet_steps
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (8, 64, 1, 1, 1),
+           "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, 8, 32, 32, 3))
+    params, batch_stats = init_model(model, x0, seed=0)
+    criterion = {"CeLossAbstain": {"loss_weight": 1, "ab_weight": 0.3,
+                                   "ab_logitpath": "joined",
+                                   "reduction": "mean"},
+                 "ClusterRoiFeat": {"loss_weight": 0.8, "reduction": "mean"}}
+    bundle = LossBundle(criterion, num_classes=4, abstain_class=True)
+    groups = ("backbone", "add_on", "occurrence", "last_layer")
+    tx = make_adam(weight_decay_by_group={g: 1e-3 for g in groups},
+                   params=params)
+    state = TrainState.create(params, batch_stats, tx)
+    train_step, _, _ = make_xprotonet_steps(model, bundle, tx,
+                                            accumulation_steps=1,
+                                            stage="all", donate=False)
+    lrs = {g: jnp.float32(3e-3) for g in
+           ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        xb = rng.uniform(-0.5, 2.0, size=(4, 8, 32, 32, 3)).astype(np.float32)
+        yb = rng.integers(0, 3, size=4).astype(np.int32)
+        xb += yb[:, None, None, None, None] * 0.5
+        key, sub = jax.random.split(key)
+        state, _ = train_step(state, jnp.asarray(xb), jnp.asarray(yb),
+                              jnp.ones(4, jnp.bool_), sub, lrs)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batches = []
+    for _ in range(2):
+        xb = rng.uniform(-0.5, 2.0, size=(4, 8, 32, 32, 3)).astype(np.float32)
+        xb += rng.integers(0, 3, size=4)[:, None, None, None, None] * 0.5
+        batches.append(jnp.asarray(xb))
+    return model, variables, batches
+
+
+def test_default_filter_quantizes_only_backbone(tiny_trained):
+    model, variables, batches = tiny_trained
+    scales = calibrate_act_scales(model, variables, batches[:1])
+    assert len(scales) > 20  # 27 convs in the truncated R(2+1)D trunk
+    assert all(p[0] == "cnn_backbone" for p in scales)
+    # the custom space-to-depth stem conv is not an nn.Conv: never quantized
+    assert not any("stem_spatial" in p for p in scales)
+
+
+def test_empty_qstate_is_identity(tiny_trained):
+    model, variables, batches = tiny_trained
+    x = batches[0]
+    fp = model.apply(variables, x, train=False)[0]
+    got = apply_quantized(model, variables, {}, x)[0]
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(got))
+
+
+def test_quantized_logits_faithful(tiny_trained):
+    model, variables, batches = tiny_trained
+    scales = calibrate_act_scales(model, variables, batches)
+    qstate = build_qstate(variables, scales)
+    x = batches[1]
+    fp = np.asarray(model.apply(variables, x, train=False)[0], np.float64)
+    q = np.asarray(apply_quantized(model, variables, qstate, x)[0],
+                   np.float64)
+    denom = np.abs(fp).max() + 1e-9
+    rel = np.abs(fp - q).max() / denom
+    cos = (fp * q).sum() / (np.linalg.norm(fp) * np.linalg.norm(q) + 1e-12)
+    assert rel < 0.08, (rel, fp[0], q[0])
+    assert cos > 0.995, cos
+    # ranking preserved per sample
+    assert (fp.argmax(axis=1) == q.argmax(axis=1)).mean() >= 0.75
