@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--bf16", dest="bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false",
                     help="bench fp32 instead of the bf16 default")
+    ap.add_argument("--int8", dest="int8", action="store_true", default=True,
+                    help="also bench the w8a8 quantized serving path "
+                         "(default on)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
 
@@ -127,6 +131,39 @@ def main():
         f"marginal; fixed overhead ~{t_n1 - per_fwd * n1:.2f}s/call)")
 
     result = {"infer_clips_per_sec": infer_cps}
+
+    if args.int8:
+        # w8a8 serving path (quant.py): int8 backbone convs on the MXU.
+        # Logit cosine vs bf16 ~0.999999 (experiments/int8_serving_ab.py).
+        from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                          calibrate_act_scales)
+
+        t0 = time.time()
+        qstate = build_qstate(
+            variables, calibrate_act_scales(model, variables, [x[:8]]))
+        log(f"int8 calibration: {time.time() - t0:.1f}s")
+
+        @jax.jit
+        def chained_q(v, q, xb, n):
+            def body(i, xc):
+                logits = apply_quantized(model, v, q, xc)[0]
+                return xc + 1e-6 * logits.sum()
+            return jax.lax.fori_loop(0, n, body, xb).sum()
+
+        t0 = time.time()
+        float(chained_q(variables, qstate, x, 1))
+        log(f"compile(int8 fwd): {time.time() - t0:.1f}s")
+
+        def run_q(n):
+            t0 = time.time()
+            float(chained_q(variables, qstate, x, n))
+            return time.time() - t0
+
+        tq1, tq2 = run_q(n1), run_q(n2)
+        per_q = (tq2 - tq1) / (n2 - n1)
+        result["infer_clips_per_sec_int8"] = b / per_q
+        log(f"int8 inference: {b / per_q:.2f} clips/s "
+            f"({per_fwd / per_q:.2f}x vs bf16)")
 
     if args.train:
         from protoasnet_tpu.losses.bundle import LossBundle
@@ -276,6 +313,28 @@ def _image_bench(args, rng):
     out[key] = ib / per
     log(f"image inference ({'bf16' if args.bf16 else 'fp32'}): "
         f"{ib / per:.1f} imgs/s ({per * 1000:.2f} ms/batch-{ib})")
+
+    if args.int8:
+        from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                          calibrate_act_scales)
+
+        iq = build_qstate(
+            ivars, calibrate_act_scales(imodel, ivars, [ix[:16]]))
+
+        @jax.jit
+        def ichained_q(v, q, x, n):
+            def body(i, xc):
+                return xc + 1e-6 * apply_quantized(imodel, v, q,
+                                                   xc)[0].sum()
+            return jax.lax.fori_loop(0, n, body, x).sum()
+
+        float(ichained_q(ivars, iq, ix, 1))
+        t0 = _time.time(); float(ichained_q(ivars, iq, ix, n1)); q1 = _time.time() - t0
+        t0 = _time.time(); float(ichained_q(ivars, iq, ix, n2)); q2 = _time.time() - t0
+        per_q = (q2 - q1) / (n2 - n1)
+        out["image_infer_imgs_per_sec_int8"] = ib / per_q
+        log(f"image inference (int8): {ib / per_q:.1f} imgs/s "
+            f"({per / per_q:.2f}x)")
     return out
 
 

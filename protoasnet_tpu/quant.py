@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
+    "path_key",
     "calibrate_act_scales",
     "build_qstate",
     "apply_quantized",
@@ -43,6 +44,12 @@ __all__ = [
 ]
 
 Path = Tuple[str, ...]
+
+
+def path_key(path: Path) -> str:
+    """Module path -> string key ("/"-joined): jax.export bundles require
+    string dict keys, so scales/qstate trees are keyed by this form."""
+    return "/".join(path)
 
 
 def default_backbone_filter(path: Path) -> bool:
@@ -72,7 +79,7 @@ def calibrate_act_scales(model, variables, batches: Sequence[Any],
                          **apply_kwargs) -> Dict[Path, jnp.ndarray]:
     """Run ``batches`` through ``model`` recording each conv input's absmax.
 
-    Returns {module_path: scalar activation scale (absmax / 127)}.
+    Returns {path_key(module_path): scalar activation scale (absmax / 127)}.
     The forward per batch is jitted; absmax reduces across batches on host.
     """
 
@@ -104,10 +111,10 @@ def calibrate_act_scales(model, variables, batches: Sequence[Any],
             if isinstance(v, dict):
                 _walk(v, prefix + (k,))
             else:  # leaf named "absmax" at the conv module's path
-                path = prefix
-                cur = absmax.get(path)
+                key = path_key(prefix)
+                cur = absmax.get(key)
                 val = jnp.asarray(v, jnp.float32)
-                absmax[path] = val if cur is None else jnp.maximum(cur, val)
+                absmax[key] = val if cur is None else jnp.maximum(cur, val)
 
     for x in batches:
         _walk(jax.device_get(one_batch(variables, x)), ())
@@ -115,22 +122,22 @@ def calibrate_act_scales(model, variables, batches: Sequence[Any],
     return {p: jnp.maximum(a, 1e-8) / 127.0 for p, a in absmax.items()}
 
 
-def _params_at(params, path: Path):
+def _params_at(params, key: str):
     node = params
-    for k in path:
+    for k in key.split("/") if key else ():
         node = node[k]
     return node
 
 
-def build_qstate(variables, act_scales: Dict[Path, jnp.ndarray]
-                 ) -> Dict[Path, Dict[str, jnp.ndarray]]:
+def build_qstate(variables, act_scales: Dict[str, jnp.ndarray]
+                 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Per-output-channel symmetric int8 kernels for every calibrated conv.
 
     Returns a pytree (dict keyed by module path) safe to pass through jit:
-      {path: {"w_q": int8 kernel, "w_scale": (cout,) f32,
-              "a_scale": scalar f32[, "bias": (cout,) f32]}}
+      {path_key: {"w_q": int8 kernel, "w_scale": (cout,) f32,
+                  "a_scale": scalar f32[, "bias": (cout,) f32]}}
     """
-    qstate: Dict[Path, Dict[str, jnp.ndarray]] = {}
+    qstate: Dict[str, Dict[str, jnp.ndarray]] = {}
     for path, a_scale in act_scales.items():
         leaf = _params_at(variables["params"], path)
         w = jnp.asarray(leaf["kernel"], jnp.float32)
@@ -159,6 +166,18 @@ def _canon_strides(strides, rank: int):
     return tuple(strides)
 
 
+def _canon_padding(padding, rank: int):
+    """flax nn.Conv padding (str | int | seq[int] | seq[(lo, hi)]) -> lax."""
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return ((padding, padding),) * rank
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return tuple(out)
+
+
 def apply_quantized(model, variables, qstate, x, method=None,
                     pass_train: bool = True, **apply_kwargs):
     """``model.apply`` with every conv in ``qstate`` swapped to int8.
@@ -172,8 +191,8 @@ def apply_quantized(model, variables, qstate, x, method=None,
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"
-                and tuple(m.path) in qstate):
-            q = qstate[tuple(m.path)]
+                and path_key(m.path) in qstate):
+            q = qstate[path_key(m.path)]
             xin = args[0]
             rank = xin.ndim - 2
             inv = 1.0 / q["a_scale"]
@@ -182,7 +201,8 @@ def apply_quantized(model, variables, qstate, x, method=None,
             dn = lax.conv_dimension_numbers(xin.shape, q["w_q"].shape,
                                             _DIM_NUMS[rank])
             y = lax.conv_general_dilated(
-                xq, q["w_q"], _canon_strides(m.strides, rank), m.padding,
+                xq, q["w_q"], _canon_strides(m.strides, rank),
+                _canon_padding(m.padding, rank),
                 dimension_numbers=dn, preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * (q["a_scale"] * q["w_scale"])
             if "bias" in q:

@@ -26,8 +26,8 @@ def test_single_conv_golden_math():
     scales = calibrate_act_scales(conv, variables, [x],
                                   path_filter=lambda p: True,
                                   pass_train=False)
-    assert set(scales) == {()}
-    np.testing.assert_allclose(float(scales[()]),
+    assert set(scales) == {""}
+    np.testing.assert_allclose(float(scales[""]),
                                float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6)
 
     qstate = build_qstate(variables, scales)
@@ -36,7 +36,7 @@ def test_single_conv_golden_math():
     w = np.asarray(variables["params"]["kernel"], np.float64)
     w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
     w_q = np.clip(np.round(w / w_scale), -127, 127)
-    a_scale = float(scales[()])
+    a_scale = float(scales[""])
     x_q = np.clip(np.round(np.asarray(x, np.float64) / a_scale), -127, 127)
     acc = jax.lax.conv_general_dilated(
         jnp.asarray(x_q, jnp.float32), jnp.asarray(w_q, jnp.float32),
@@ -102,7 +102,7 @@ def test_default_filter_quantizes_only_backbone(tiny_trained):
     model, variables, batches = tiny_trained
     scales = calibrate_act_scales(model, variables, batches[:1])
     assert len(scales) > 20  # 27 convs in the truncated R(2+1)D trunk
-    assert all(p[0] == "cnn_backbone" for p in scales)
+    assert all(p.split("/")[0] == "cnn_backbone" for p in scales)
     # the custom space-to-depth stem conv is not an nn.Conv: never quantized
     assert not any("stem_spatial" in p for p in scales)
 

@@ -47,3 +47,27 @@ def test_serving_bundle_file(tmp_path):
     want = np.asarray(model.apply({"params": params, "batch_stats": stats},
                                   x, train=False)[0])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_bundle_roundtrip(tmp_path):
+    """int8 bundle: exported artifact == live quantized path exactly-ish,
+    and stays a faithful approximation of the fp model."""
+    from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                      calibrate_act_scales)
+
+    model, params, stats = _small_model()
+    variables = {"params": params, "batch_stats": stats}
+    rng = np.random.default_rng(2)
+    calib = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(model, variables, [calib])
+    assert scales and all(p.split("/")[0] == "cnn_backbone" for p in scales)
+    qstate = build_qstate(variables, scales)
+
+    path = str(tmp_path / "model_int8.bundle")
+    save_serving_bundle(path, model, params, stats, (32, 32, 3),
+                        qstate=qstate)
+    fn = load_serving_bundle(path)
+    x = jnp.asarray(rng.normal(size=(3, 32, 32, 3)), jnp.float32)
+    got = np.asarray(fn(x))
+    live = np.asarray(apply_quantized(model, variables, qstate, x)[0])
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)
