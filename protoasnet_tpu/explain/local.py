@@ -25,8 +25,10 @@ import numpy as np
 from protoasnet_tpu.explain.render import (
     compose_panel_clip,
     compose_panel_frame,
-    heatmap_clip,
+    heatmap_clip8,
     make_heatmap,
+    overlay_clip8,
+    u8_clip,
     upsample_occurrence_map,
     write_video_or_frames,
 )
@@ -103,19 +105,25 @@ def _overlay_panels(clip_norm: np.ndarray, occ_j: np.ndarray,
 
     labels = ("input", "input overlay", "prototype overlay", "prototype")
     if video:
-        # vectorized whole-clip composition (pixel-identical to the
-        # per-frame compose_panel_frame loop; see render.py)
+        # vectorized uint8-resident composition (within +-2/255 of the
+        # per-frame compose_panel_frame float loop; see render.py)
         t_len = img.shape[0]
-        panels = [img, 0.5 * img + 0.3 * heatmap_clip(up)]
+        img8 = u8_clip(img)
+        panels8 = [img8, overlay_clip8(img8, heatmap_clip8(u8_clip(up)))]
         if p_img is not None:
             ti = np.arange(t_len)
             pc = (p_img[ti % p_img.shape[0]] if p_img.ndim == 4
                   else np.broadcast_to(p_img, (t_len,) + p_img.shape))
             pu = (p_up[ti % p_up.shape[0]] if p_up.ndim == 3
                   else np.broadcast_to(p_up, (t_len,) + p_up.shape))
-            panels += [0.5 * pc + 0.3 * heatmap_clip(pu), pc]
-        frames = compose_panel_clip(panels, title,
-                                    labels=labels[: len(panels)])
+            pc8 = u8_clip(pc)
+            panels8 += [overlay_clip8(pc8, heatmap_clip8(u8_clip(pu))), pc8]
+        # scale=1 for MP4s (encoding upscaled pixels is pure waste; see
+        # render.prototype_plot), scale=2 for the single-frame PNG case
+        frames = compose_panel_clip([], title,
+                                    labels=labels[: len(panels8)],
+                                    scale=1 if t_len > 1 else 2,
+                                    panels8=panels8)
         if len(frames) > 1:
             write_video_or_frames(frames, out_base, fps=5)
         else:
@@ -144,8 +152,7 @@ def _separate_overlays(clip_norm, occ, contribution, out_root, sample_id):
     makedir(out_dir)
     video = img.ndim == 4
     if video:
-        overlay = np.clip(0.5 * img + 0.3 * heatmap_clip(up), 0, 1)
-        frames = (overlay * 255).astype(np.uint8)
+        frames = overlay_clip8(u8_clip(img), heatmap_clip8(u8_clip(up)))
         if len(frames) > 1:
             write_video_or_frames(
                 frames, os.path.join(out_dir, f"{sample_id:04d}"), fps=5)

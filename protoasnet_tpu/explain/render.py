@@ -24,6 +24,7 @@ import numpy as np
 from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 
 __all__ = ["upsample_occurrence_map", "make_heatmap", "heatmap_clip",
+           "heatmap_clip8", "overlay_clip8", "mask_clip8", "u8_clip",
            "prototype_plot", "compose_panel_frame", "compose_panel_clip",
            "render_clip_panels", "write_video_frames", "write_video",
            "write_gif", "remove_images", "write_video_or_frames"]
@@ -233,6 +234,45 @@ def heatmap_clip(rescaled: np.ndarray) -> np.ndarray:
     return np.float32(hm[..., ::-1]).reshape(t, h, w, 3) / 255.0
 
 
+# --- uint8-resident clip composition -------------------------------------
+# The hot render path never leaves uint8: colormap LUTs are uint8 natively,
+# and the masked/overlay panels use integer fixed-point blends. Each panel
+# stays within +-2/255 of the float reference formulas (_proto_frame), a
+# visually lossless bound pinned by tests/test_misc_utils.py; the win on
+# the 1-core host is skipping ~5 full-size float temporaries + clips per
+# clip (~2x composition).
+
+
+def u8_clip(x: np.ndarray) -> np.ndarray:
+    """float [0,1] -> uint8 with the float path's truncating quantization."""
+    return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def heatmap_clip8(occ8: np.ndarray) -> np.ndarray:
+    """(T, H, W) uint8 map -> (T, H, W, 3) uint8 TURBO RGB heatmap (one
+    colormap LUT pass; exactly make_heatmap's table, no float round trip)."""
+    import cv2
+
+    t, h, w = occ8.shape
+    hm = cv2.applyColorMap(occ8.reshape(t * h, w), cv2.COLORMAP_TURBO)
+    return np.ascontiguousarray(hm.reshape(t, h, w, 3)[..., ::-1])
+
+
+def overlay_clip8(img8: np.ndarray, heat8: np.ndarray) -> np.ndarray:
+    """uint8 (0.5*img + 0.3*heat): fixed-point (128*img + 77*heat)/256."""
+    a = img8.astype(np.uint16)
+    b = heat8.astype(np.uint16)
+    return ((a * np.uint16(128) + b * np.uint16(77) + np.uint16(128))
+            >> 8).astype(np.uint8)
+
+
+def mask_clip8(img8: np.ndarray, occ8: np.ndarray) -> np.ndarray:
+    """uint8 img * (occ/255) via exact rounding division by 255."""
+    t = img8.astype(np.uint16) * occ8[..., None]
+    t += 128
+    return ((t + (t >> 8)) >> 8).astype(np.uint8)
+
+
 def compose_panel_clip(panels, title: str,
                        labels: Optional[Sequence[str]] = None,
                        colorbar: bool = False, scale: int = 2,
@@ -305,23 +345,23 @@ def render_clip_panels(unnorm: np.ndarray, rescaled: np.ndarray,
     """All T frames of the 4-panel prototype figure in one vectorized pass.
 
     unnorm: (T, H, W, 3) float [0,1]; rescaled: (T, H, W) float [0,1].
-    Pixel-identical to stacking ``_proto_frame`` per frame
-    (tests/test_misc_utils.py); see compose_panel_clip for the speedup
+    uint8-resident composition: within +-2/255 per pixel of stacking the
+    float ``_proto_frame`` reference path, identical layout/captions
+    (tests/test_misc_utils.py); see compose_panel_clip for the assembly
     mechanics.
     """
     import cv2
 
     t, h, w, _ = unnorm.shape
-    unnorm = np.clip(unnorm, 0.0, 1.0)
-    rescaled = np.clip(rescaled, 0.0, 1.0)
-    turbo = heatmap_clip(rescaled)
-    occ8 = np.uint8(255 * rescaled)
+    img8 = u8_clip(unnorm)
+    occ8 = u8_clip(rescaled)
+    turbo8 = heatmap_clip8(occ8)
     vir8 = cv2.applyColorMap(occ8.reshape(t * h, w), cv2.COLORMAP_VIRIDIS)
     vir8 = vir8[..., ::-1].reshape(t, h, w, 3)
     return compose_panel_clip(
-        [unnorm, unnorm * rescaled[..., None], 0.5 * unnorm + 0.3 * turbo],
-        title, labels=_PROTO_LABELS, colorbar=True, scale=scale,
-        panels8=[vir8],
+        [], title, labels=_PROTO_LABELS, colorbar=True, scale=scale,
+        panels8=[img8, mask_clip8(img8, occ8), overlay_clip8(img8, turbo8),
+                 vir8],
     )
 
 
@@ -335,7 +375,9 @@ def prototype_plot(img, occurrence_map, proto_id, fn, pred, gt, proto_dir,
     """
     from PIL import Image
 
-    unnorm = np.clip(np.asarray(img, np.float32) * std + m, 0, 1)
+    # no clip here: the video path quantizes via u8_clip (which clips);
+    # the still path clips below before the float reference renderer
+    unnorm = np.asarray(img, np.float32) * std + m
     video = unnorm.ndim == 4
     if video:
         unnorm = np.transpose(unnorm, (1, 2, 3, 0))  # (To, Ho, Wo, 3)
@@ -351,11 +393,15 @@ def prototype_plot(img, occurrence_map, proto_id, fn, pred, gt, proto_dir,
              f"{[f'{v:.2f}' for v in pred]} | gt = {gt}")
 
     if not video:
-        frame = _proto_frame(unnorm, rescaled, title)
+        frame = _proto_frame(np.clip(unnorm, 0, 1), rescaled, title)
         Image.fromarray(frame).save(
             os.path.join(proto_dir, f"{proto_id:02d}_{fn}.png"))
         return
 
-    frames = render_clip_panels(unnorm, rescaled, title)
+    # MP4 clips compose at native panel resolution (scale=1): lossy
+    # encoding of nearest-2x-upscaled pixels costs 4x the encode time and
+    # bytes for zero added information (players upscale at playback);
+    # PNG stills above keep the 2x legibility bump.
+    frames = render_clip_panels(unnorm, rescaled, title, scale=1)
     write_video_or_frames(
         frames, os.path.join(proto_dir, f"{proto_id:02d}_{fn}"), fps=5)
