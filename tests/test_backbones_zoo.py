@@ -55,7 +55,11 @@ def test_xprotonet_with_vgg_backbone():
     assert logits.shape == (2, 3) and sim.shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_protopnet_with_densenet_backbone():
+    # slow-marked: tracing+compiling the 121-layer densenet costs ~60 s
+    # on this host; fast-loop densenet coverage stays via the
+    # out_channels table + conv_info chain tests above.
     from protoasnet_tpu.models.builder import build_model, init_model
 
     cfg = {"name": "ProtoPNet", "base_architecture": "densenet121",
