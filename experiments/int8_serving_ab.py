@@ -49,8 +49,11 @@ def main():
     # calibrate on a slice of the batch (scales only need coverage, not b=128)
     t0 = time.time()
     scales = calibrate_act_scales(model, variables, [x[:8]])
-    qstate = build_qstate(variables, scales)
-    log(f"calibrated {len(scales)} convs in {time.time() - t0:.1f}s")
+    qstate = build_qstate(variables, scales)  # Conv2Plus1D pairs folded
+    qstate_nf = build_qstate(variables, scales, fold_conv2plus1d=False)
+    n_folded = sum("fold_m" in q for q in qstate.values())
+    log(f"calibrated {len(scales)} convs ({n_folded} folded pairs) "
+        f"in {time.time() - t0:.1f}s")
 
     @jax.jit
     def chained_fp(v, x, n):
@@ -79,10 +82,13 @@ def main():
         return (t2 - t1) / (n2 - n1)
 
     dt_fp = marginal(chained_fp, variables, x)
-    log(f"bf16:  {dt_fp * 1e3:.1f} ms/fwd -> {b / dt_fp:.1f} clips/s")
+    log(f"bf16:        {dt_fp * 1e3:.1f} ms/fwd -> {b / dt_fp:.1f} clips/s")
+    dt_nf = marginal(chained_q, variables, qstate_nf, x)
+    log(f"int8:        {dt_nf * 1e3:.1f} ms/fwd -> {b / dt_nf:.1f} clips/s "
+        f"({dt_fp / dt_nf:.2f}x)")
     dt_q = marginal(chained_q, variables, qstate, x)
-    log(f"int8:  {dt_q * 1e3:.1f} ms/fwd -> {b / dt_q:.1f} clips/s "
-        f"({dt_fp / dt_q:.2f}x)")
+    log(f"int8+folded: {dt_q * 1e3:.1f} ms/fwd -> {b / dt_q:.1f} clips/s "
+        f"({dt_fp / dt_q:.2f}x vs bf16, {dt_nf / dt_q:.2f}x vs unfolded)")
 
     # logit agreement on one batch
     lf = np.asarray(model.apply(variables, x[:16], train=False)[0],

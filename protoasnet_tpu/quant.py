@@ -43,6 +43,20 @@ __all__ = [
     "default_backbone_filter",
 ]
 
+_SPATIAL, _BN_MID, _TEMPORAL = "spatial", "bn_mid", "temporal"
+
+
+def _pair_paths(spatial_key: str) -> Tuple[str, str]:
+    """Conv2Plus1D sibling paths for a ``.../spatial`` conv key.
+
+    The factorized block (models/backbones/r2plus1d.py::Conv2Plus1D) always
+    names its children spatial/bn_mid/temporal; build_qstate verifies the
+    BN params actually exist before folding, so a model that breaks the
+    convention simply doesn't fold (and stays on the per-conv path).
+    """
+    prefix = spatial_key[: -len(_SPATIAL)]
+    return prefix + _BN_MID, prefix + _TEMPORAL
+
 Path = Tuple[str, ...]
 
 
@@ -129,13 +143,39 @@ def _params_at(params, key: str):
     return node
 
 
-def build_qstate(variables, act_scales: Dict[str, jnp.ndarray]
+def build_qstate(variables, act_scales: Dict[str, jnp.ndarray],
+                 fold_conv2plus1d: bool = False,
+                 fold_min_channels: int = 288
                  ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Per-output-channel symmetric int8 kernels for every calibrated conv.
 
     Returns a pytree (dict keyed by module path) safe to pass through jit:
       {path_key: {"w_q": int8 kernel, "w_scale": (cout,) f32,
                   "a_scale": scalar f32[, "bias": (cout,) f32]}}
+
+    With ``fold_conv2plus1d`` (OFF by default — see below), every
+    calibrated Conv2Plus1D spatial/temporal pair with at least
+    ``fold_min_channels`` mid channels gets a fused int8-resident epilogue:
+    the spatial entry carries per-channel ``fold_m``/``fold_b`` folding the
+    mid BatchNorm (eval stats), ReLU, and the temporal conv's activation
+    quantization into one ``clip(round(i32*M + B), 0, 127)`` int8 emit.
+    The tensor between the two convs then lives in HBM as int8 (1 byte vs
+    2 for bf16) — the factorized temporal convs are the bandwidth-bound
+    ops, so their input traffic halves — and is mathematically the exact
+    quantization of relu(bn(conv(x))) (round/clip commute with the ReLU
+    max at 0), minus one bf16 rounding the unfolded path takes.
+
+    Why OFF by default — a measured negative (v5e, flagship serving at
+    batch 128, experiments/int8_serving_ab.py): in ISOLATED pair probes
+    folding wins at deep geometries (288/460/576 mid channels at
+    28x28/14x14: 1.1-5.4x) and loses at the early high-resolution ones
+    (144/230 mid at 56x56: ~0.84x, for every epilogue formulation tried —
+    f32/bf16, round/truncate). But end-to-end even the selective >=288
+    fold runs 0.97x of the unfolded path (906 vs 934 clips/s), and
+    folding everything runs 0.88x — the int8-resident intermediates
+    perturb XLA's layout/fusion choices beyond the pair. The fold math
+    itself is exact and pinned by tests; flip it on per-deploy only with
+    a same-session A/B in hand.
     """
     qstate: Dict[str, Dict[str, jnp.ndarray]] = {}
     for path, a_scale in act_scales.items():
@@ -150,6 +190,33 @@ def build_qstate(variables, act_scales: Dict[str, jnp.ndarray]
         if "bias" in leaf:
             entry["bias"] = jnp.asarray(leaf["bias"], jnp.float32)
         qstate[path] = entry
+
+    if not fold_conv2plus1d:
+        return qstate
+    for path in list(qstate):
+        if not (path == _SPATIAL or path.endswith("/" + _SPATIAL)):
+            continue
+        bn_key, temporal_key = _pair_paths(path)
+        if temporal_key not in qstate:
+            continue
+        if qstate[path]["w_q"].shape[-1] < fold_min_channels:
+            continue  # measured: early high-res pairs run faster unfolded
+        try:
+            bn_p = _params_at(variables["params"], bn_key)
+            bn_s = _params_at(variables["batch_stats"], bn_key)
+            gamma = jnp.asarray(bn_p["scale"], jnp.float32)
+            beta = jnp.asarray(bn_p["bias"], jnp.float32)
+            mean = jnp.asarray(bn_s["mean"], jnp.float32)
+            var = jnp.asarray(bn_s["var"], jnp.float32)
+        except (KeyError, TypeError):
+            continue  # naming convention not met -> per-conv path
+        q = qstate[path]
+        a_t = qstate[temporal_key]["a_scale"]
+        # eval BN epsilon: models/norm.py::BatchNorm default (1e-5)
+        inv_std = gamma * jax.lax.rsqrt(var + 1e-5)
+        bias = q.get("bias", jnp.zeros_like(mean))
+        q["fold_m"] = q["a_scale"] * q["w_scale"] * inv_std / a_t
+        q["fold_b"] = ((bias - mean) * inv_std + beta) / a_t
     return qstate
 
 
@@ -182,32 +249,61 @@ def apply_quantized(model, variables, qstate, x, method=None,
                     pass_train: bool = True, **apply_kwargs):
     """``model.apply`` with every conv in ``qstate`` swapped to int8.
 
-    Pure in (variables, qstate, x) — jit it with all three as arguments.
+    Pure in (variables, qstate, x) — jit it with all three as arguments
+    (qstate's dict STRUCTURE, incl. fold_m presence, is static under jit).
     Convs NOT in qstate (heads, stem space-to-depth) run unchanged.
+
+    Folded Conv2Plus1D pairs (see build_qstate): the spatial conv emits
+    int8 directly, the folded bn_mid is intercepted to identity, the
+    model's own nn.relu is a no-op on the non-negative int8 codes, and
+    the temporal conv consumes the int8 input without re-quantizing.
     """
+    from protoasnet_tpu.models.norm import BatchNorm
+
     if pass_train:
         apply_kwargs = {"train": False, **apply_kwargs}
 
+    folded_bns = {_pair_paths(p)[0] for p, q in qstate.items()
+                  if "fold_m" in q}
+    # compute dtype of the pending int8-resident pair (trace-order carry:
+    # a folded spatial conv always reaches its temporal partner before any
+    # other quantized conv can run)
+    pending_dtype = []
+
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
+        key = path_key(m.path)
+        if (isinstance(m, BatchNorm) and context.method_name == "__call__"
+                and key in folded_bns):
+            return args[0]  # folded into the spatial conv's epilogue
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"
-                and path_key(m.path) in qstate):
-            q = qstate[path_key(m.path)]
+                and key in qstate):
+            q = qstate[key]
             xin = args[0]
             rank = xin.ndim - 2
-            inv = 1.0 / q["a_scale"]
-            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) * inv),
-                          -127, 127).astype(jnp.int8)
+            if xin.dtype == jnp.int8:  # folded pair's temporal side
+                out_dtype = pending_dtype.pop()
+                xq = xin
+            else:
+                out_dtype = xin.dtype
+                inv = 1.0 / q["a_scale"]
+                xq = jnp.clip(jnp.round(xin.astype(jnp.float32) * inv),
+                              -127, 127).astype(jnp.int8)
             dn = lax.conv_dimension_numbers(xin.shape, q["w_q"].shape,
                                             _DIM_NUMS[rank])
             y = lax.conv_general_dilated(
                 xq, q["w_q"], _canon_strides(m.strides, rank),
                 _canon_padding(m.padding, rank),
                 dimension_numbers=dn, preferred_element_type=jnp.int32)
+            if "fold_m" in q:
+                pending_dtype.append(out_dtype)
+                return jnp.clip(
+                    jnp.round(y.astype(jnp.float32) * q["fold_m"]
+                              + q["fold_b"]), 0, 127).astype(jnp.int8)
             y = y.astype(jnp.float32) * (q["a_scale"] * q["w_scale"])
             if "bias" in q:
                 y = y + q["bias"]
-            return y.astype(xin.dtype)
+            return y.astype(out_dtype)
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):

@@ -98,30 +98,48 @@ def tiny_trained():
     return model, variables, batches
 
 
-def test_default_filter_quantizes_only_backbone(tiny_trained):
+@pytest.fixture(scope="module")
+def calibrated(tiny_trained):
+    """Shared calibration + fp reference forward (one compile each for the
+    whole module — the suite's quant cost is dominated by model compiles)."""
     model, variables, batches = tiny_trained
-    scales = calibrate_act_scales(model, variables, batches[:1])
+    scales = calibrate_act_scales(model, variables, batches)
+    fp = np.asarray(model.apply(variables, batches[1], train=False)[0],
+                    np.float64)
+    return scales, fp
+
+
+def test_default_filter_quantizes_only_backbone(calibrated):
+    scales, _ = calibrated
     assert len(scales) > 20  # 27 convs in the truncated R(2+1)D trunk
     assert all(p.split("/")[0] == "cnn_backbone" for p in scales)
     # the custom space-to-depth stem conv is not an nn.Conv: never quantized
     assert not any("stem_spatial" in p for p in scales)
 
 
-def test_empty_qstate_is_identity(tiny_trained):
+def test_empty_qstate_is_identity(tiny_trained, calibrated):
     model, variables, batches = tiny_trained
-    x = batches[0]
-    fp = model.apply(variables, x, train=False)[0]
-    got = apply_quantized(model, variables, {}, x)[0]
-    np.testing.assert_array_equal(np.asarray(fp), np.asarray(got))
+    _, fp = calibrated
+    got = apply_quantized(model, variables, {}, batches[1])[0]
+    np.testing.assert_array_equal(fp.astype(np.float32),
+                                  np.asarray(got))
 
 
-def test_quantized_logits_faithful(tiny_trained):
+def test_quantized_logits_faithful(tiny_trained, calibrated):
+    """End-to-end fidelity of the default (unfolded — the measured serving
+    winner, see build_qstate) qstate on a trained tiny flagship."""
     model, variables, batches = tiny_trained
-    scales = calibrate_act_scales(model, variables, batches)
+    scales, fp = calibrated
     qstate = build_qstate(variables, scales)
-    x = batches[1]
-    fp = np.asarray(model.apply(variables, x, train=False)[0], np.float64)
-    q = np.asarray(apply_quantized(model, variables, qstate, x)[0],
+    assert not any("fold_m" in q for q in qstate.values())  # default OFF
+    # the opt-in fold finds every spatial/temporal pair (structure only —
+    # the fold math itself is pinned by test_conv2plus1d_fold_golden)
+    folded = build_qstate(variables, scales, fold_conv2plus1d=True,
+                          fold_min_channels=0)
+    assert sum("fold_m" in q for q in folded.values()) >= 8
+    assert all(("fold_m" in q) == p.endswith("/spatial")
+               for p, q in folded.items())
+    q = np.asarray(apply_quantized(model, variables, qstate, batches[1])[0],
                    np.float64)
     denom = np.abs(fp).max() + 1e-9
     rel = np.abs(fp - q).max() / denom
@@ -130,3 +148,78 @@ def test_quantized_logits_faithful(tiny_trained):
     assert cos > 0.995, cos
     # ranking preserved per sample
     assert (fp.argmax(axis=1) == q.argmax(axis=1)).mean() >= 0.75
+
+
+def test_conv2plus1d_fold_golden():
+    """The folded int8-resident pair == quantize(relu(bn(spatial(x))))
+    fed to the quantized temporal conv, exactly — the fold_m/fold_b
+    epilogue must reproduce the unfolded composition's integer codes."""
+    from protoasnet_tpu.models.norm import BatchNorm
+    from protoasnet_tpu.quant import path_key
+
+    class Pair(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(6, (1, 3, 3), padding=((0, 0), (1, 1), (1, 1)),
+                        use_bias=False, name="spatial")(x)
+            x = BatchNorm(use_running_average=not train, name="bn_mid")(x)
+            x = nn.relu(x)
+            x = nn.Conv(8, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                        use_bias=False, name="temporal")(x)
+            return x
+
+    rng = np.random.default_rng(5)
+    m = Pair()
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 6, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(1), x, train=False)
+    # non-trivial eval stats so the BN fold actually does something
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    variables["batch_stats"]["bn_mid"]["mean"] = jnp.asarray(
+        rng.normal(size=6) * 0.3, jnp.float32)
+    variables["batch_stats"]["bn_mid"]["var"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=6), jnp.float32)
+    variables["params"]["bn_mid"]["scale"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, size=6), jnp.float32)
+    variables["params"]["bn_mid"]["bias"] = jnp.asarray(
+        rng.normal(size=6) * 0.2, jnp.float32)
+
+    scales = calibrate_act_scales(m, variables, [x],
+                                  path_filter=lambda p: True)
+    qstate = build_qstate(variables, scales, fold_conv2plus1d=True,
+                          fold_min_channels=0)
+    assert "fold_m" in qstate["spatial"] and "fold_m" not in qstate["temporal"]
+    got = np.asarray(apply_quantized(m, variables, qstate, x), np.float64)
+
+    # manual unfolded composition at f64: int8 spatial conv -> dequant ->
+    # BN -> ReLU -> quantize by the temporal a_scale -> int8 temporal conv
+    qs, qt = qstate["spatial"], qstate["temporal"]
+    dn = jax.lax.conv_dimension_numbers(x.shape, qs["w_q"].shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    xq = jnp.clip(jnp.round(x / qs["a_scale"]), -127, 127)
+    acc = jax.lax.conv_general_dilated(
+        xq.astype(jnp.float32), np.asarray(qs["w_q"], np.float32), (1, 1, 1),
+        ((0, 0), (1, 1), (1, 1)), dimension_numbers=dn)
+    y = np.asarray(acc, np.float64) * np.asarray(
+        qs["a_scale"] * qs["w_scale"], np.float64)
+    bs, bp = variables["batch_stats"]["bn_mid"], variables["params"]["bn_mid"]
+    y = (y - np.asarray(bs["mean"], np.float64)) / np.sqrt(
+        np.asarray(bs["var"], np.float64) + 1e-5)
+    y = y * np.asarray(bp["scale"], np.float64) + np.asarray(
+        bp["bias"], np.float64)
+    y8 = np.clip(np.round(np.maximum(y, 0.0)
+                          / float(qt["a_scale"])), 0, 127)
+    dn2 = jax.lax.conv_dimension_numbers(y8.shape, qt["w_q"].shape,
+                                         ("NDHWC", "DHWIO", "NDHWC"))
+    acc2 = jax.lax.conv_general_dilated(
+        jnp.asarray(y8, jnp.float32), np.asarray(qt["w_q"], np.float32),
+        (1, 1, 1), ((1, 1), (0, 0), (0, 0)), dimension_numbers=dn2)
+    want = np.asarray(acc2, np.float64) * np.asarray(
+        qt["a_scale"] * qt["w_scale"], np.float64)
+    # identical integer codes modulo f32-vs-f64 epilogue rounding at the
+    # .5 boundaries: allow <=1 code step through the second conv's kernel
+    step = np.abs(np.asarray(qt["w_q"], np.float64)).sum() * float(
+        qt["a_scale"] * qt["w_scale"].max())
+    np.testing.assert_allclose(got, want, atol=step * 0.02 + 1e-6)
+    # and the whole thing approximates the fp pair
+    fp = np.asarray(m.apply(variables, x, train=False), np.float64)
+    assert np.abs(fp - got).max() < 0.1 * np.abs(fp).max()
