@@ -49,6 +49,49 @@ def test_serving_bundle_file(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_serve_cli_predict(tmp_path, capsys):
+    """python -m protoasnet_tpu.serve predict: bundle + .npy in, logits
+    .npy out, chunked through a batch size smaller than the input."""
+    from protoasnet_tpu.serve import main
+
+    model, params, stats = _small_model()
+    bundle = str(tmp_path / "m.bundle")
+    save_serving_bundle(bundle, model, params, stats, (32, 32, 3))
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    np.save(tmp_path / "x.npy", x)
+    main(["predict", "--bundle", bundle, "--input", str(tmp_path / "x.npy"),
+          "--out", str(tmp_path / "logits.npy"), "--batch", "2"])
+    logits = np.load(tmp_path / "logits.npy")
+    want = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  jnp.asarray(x), train=False)[0])
+    np.testing.assert_allclose(logits, want, rtol=1e-5, atol=1e-5)
+    assert "class" in capsys.readouterr().out
+
+
+def test_sharded_serving_matches_single_device():
+    """Data-parallel serving over the 8-device mesh: same logits as the
+    plain forward, batch and logits sharded over 'data', no collectives
+    needed (per-sample independence)."""
+    import jax
+
+    from protoasnet_tpu.parallel import batch_sharding, make_mesh
+    from protoasnet_tpu.serve import make_sharded_serving_fn
+
+    model, params, stats = _small_model()
+    variables = {"params": params, "batch_stats": stats}
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    fn = make_sharded_serving_fn(model, mesh)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 32, 32, 3)), jnp.float32)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = fn(variables, xs)
+    assert got.sharding.spec == batch_sharding(mesh).spec
+    want = np.asarray(model.apply(variables, x, train=False)[0])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 def test_quantized_bundle_roundtrip(tmp_path):
     """int8 bundle: exported artifact == live quantized path exactly-ish,
     and stays a faithful approximation of the fp model."""
