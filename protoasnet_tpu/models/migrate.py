@@ -11,6 +11,9 @@ reference can load a TRAINED model here and keep identical outputs
 
 CLI: python -m protoasnet_tpu.models.migrate <ref.pth> <out.ckpt> \
         --config_path=<our yml>
+Reverse (our trained trees -> reference-layout .pth the torch code can
+load): add --to_reference. Both directions roundtrip bit-identically
+(tests/test_migrate.py).
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from protoasnet_tpu.models.torch_import import (
     convert_resnet2d,
 )
 
-__all__ = ["convert_reference_state_dict"]
+__all__ = ["convert_reference_state_dict", "export_reference_state_dict"]
 
 
 def _dense_from_conv(sd, key, bias=True) -> Dict[str, np.ndarray]:
@@ -116,22 +119,128 @@ def convert_reference_state_dict(
     return params, stats
 
 
+def _conv_from_dense(dense: Dict[str, Any], rank: int) -> Dict[str, np.ndarray]:
+    """Inverse of _dense_from_conv: Dense {kernel (I, O)[, bias]} ->
+    {weight (O, I, 1*rank)[, bias]}."""
+    k = np.asarray(dense["kernel"])
+    out = {"weight": k.T.reshape(k.shape[1], k.shape[0], *([1] * rank))}
+    if "bias" in dense:
+        out["bias"] = np.asarray(dense["bias"])
+    return out
+
+
+def export_reference_state_dict(
+    params: Dict[str, Any], batch_stats: Dict[str, Any],
+    model_config: Dict[str, Any],
+) -> Dict[str, np.ndarray]:
+    """Our (params, batch_stats) trees -> a reference-layout state_dict.
+
+    Exact inverse of convert_reference_state_dict (roundtrip-tested), so
+    models trained HERE load into the reference's torch implementation —
+    users can move in either direction. Keys follow the reference modules
+    (Video_XProtoNet.py / XProtoNet.py / PPNet: cnn_backbone.backbone.{i}
+    wrapper for r2p1d, add_on_layers.{i}, occurrence_module.{i},
+    prototype_vectors, last_layer.weight).
+    """
+    from protoasnet_tpu.models.torch_import import (export_r2plus1d,
+                                                    export_resnet2d)
+
+    name = model_config["name"]
+    arch = model_config.get("base_architecture", "resnet18")
+    video = name == "Video_XProtoNet"
+    rank = 3 if video else 2
+    sd: Dict[str, np.ndarray] = {}
+
+    backbone_key = "features" if name == "ProtoPNet" else "cnn_backbone"
+    if arch == "resnet2p1d_18":
+        lln = int(model_config.get("backbone_last_layer_num", -3))
+        num_stages = (7 + lln if lln < 0 else lln) - 1
+        tv = export_r2plus1d(params["cnn_backbone"],
+                             batch_stats["cnn_backbone"],
+                             num_stages=num_stages)
+        # reference wrapper: Sequential of torchvision children
+        # (0=stem, i=layer i) under cnn_backbone.backbone
+        for k, v in tv.items():
+            head, rest = k.split(".", 1)
+            idx = 0 if head == "stem" else int(head[len("layer"):])
+            sd[f"cnn_backbone.backbone.{idx}.{rest}"] = v
+    else:
+        tv = export_resnet2d(params[backbone_key], batch_stats[backbone_key],
+                             arch)
+        sd.update({f"{backbone_key}.{k}": v for k, v in tv.items()})
+
+    if name in ("XProtoNet", "Video_XProtoNet"):
+        sd.update({f"add_on_layers.0.{k}": v for k, v in _conv_from_dense(
+            params["add_on_layers"]["Dense_0"], rank).items()})
+        sd.update({f"add_on_layers.2.{k}": v for k, v in _conv_from_dense(
+            params["add_on_layers"]["Dense_1"], rank).items()})
+        for i, idx in ((0, 0), (1, 2), (2, 4)):
+            sd.update({f"occurrence_module.{idx}.{k}": v
+                       for k, v in _conv_from_dense(
+                           params["occurrence_module"][f"Dense_{i}"],
+                           rank).items()})
+        pv = np.asarray(params["prototype_vectors"])  # (P, D)
+        sd["prototype_vectors"] = pv.reshape(*pv.shape, *([1] * rank))
+    elif name == "ProtoPNet":
+        add_on = params["add_on_layers"]
+        # reference Sequential: conv,relu,conv,sigmoid -> indices 0, 2
+        for i in range(len(add_on)):
+            sd.update({f"add_on_layers.{2 * i}.{k}": v
+                       for k, v in _conv_from_dense(
+                           add_on[f"Dense_{i}"], 2).items()})
+        pv = np.asarray(params["prototype_vectors"])  # (P, kh, kw, D)
+        sd["prototype_vectors"] = np.transpose(pv, (0, 3, 1, 2))
+    else:
+        raise ValueError(f"Unknown model name {name!r}")
+
+    sd["last_layer.weight"] = np.asarray(
+        params["last_layer"]["Dense_0"]["kernel"]).T
+    # reference models carry a constant all-ones parameter at the
+    # prototype shape (ProtoPNet.py:136, Video_XProtoNet.py:73); emit it
+    # so strict load_state_dict succeeds
+    shape = model_config["prototype_shape"]
+    if isinstance(shape, str):
+        import ast
+
+        shape = ast.literal_eval(shape)
+    sd["ones"] = np.ones(tuple(shape), np.float32)
+    return sd
+
+
 def main(argv=None):
     import argparse
 
-    import jax.numpy as jnp
     import torch
 
     from protoasnet_tpu.utils.config import load_config
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("ref_ckpt", help="reference .pth checkpoint")
-    ap.add_argument("out_ckpt", help="output .ckpt path")
+    ap.add_argument("ckpt", help="input checkpoint (.pth reference, or our "
+                    ".ckpt with --to_reference)")
+    ap.add_argument("out_ckpt", help="output path")
     ap.add_argument("--config_path", required=True)
+    ap.add_argument("--to_reference", action="store_true",
+                    help="reverse direction: our .ckpt -> reference .pth")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config_path)
-    blob = torch.load(args.ref_ckpt, map_location="cpu", weights_only=False)
+
+    if args.to_reference:
+        from protoasnet_tpu.utils.io import load_pickle
+
+        blob = load_pickle(args.ckpt)
+        sd = export_reference_state_dict(blob["params"], blob["batch_stats"],
+                                         cfg["model"])
+        torch.save({"epoch": int(blob.get("epoch", 0)),
+                    "iteration": int(blob.get("iteration", 0)),
+                    "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                   for k, v in sd.items()},
+                    "optimizer": None}, args.out_ckpt)
+        logging.info(f"exported {args.ckpt} -> reference-layout "
+                     f"{args.out_ckpt}")
+        return
+
+    blob = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob)
     params, stats = convert_reference_state_dict(sd, cfg["model"])
 
@@ -143,7 +252,7 @@ def main(argv=None):
          "params": params, "batch_stats": stats},
         args.out_ckpt,
     )
-    logging.info(f"converted {args.ref_ckpt} -> {args.out_ckpt} "
+    logging.info(f"converted {args.ckpt} -> {args.out_ckpt} "
                  f"(load via migrated-params pickle)")
 
 

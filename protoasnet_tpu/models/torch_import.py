@@ -22,7 +22,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["convert_resnet2d", "convert_r2plus1d", "load_pretrained_backbone"]
+__all__ = ["convert_resnet2d", "convert_r2plus1d", "load_pretrained_backbone",
+           "export_resnet2d", "export_r2plus1d"]
 
 from protoasnet_tpu.models.backbones.resnet2d import RESNET_SPECS, Bottleneck
 
@@ -116,6 +117,78 @@ def convert_r2plus1d(sd: Dict[str, Any], num_stages: int = 3
             params[f] = bp
             stats[f] = bs
     return params, stats
+
+
+def _conv_inv(kernel) -> np.ndarray:
+    """kernel (*k, I, O) -> torch conv weight (O, I, *k)."""
+    k = np.asarray(kernel)
+    nd = k.ndim
+    return np.transpose(k, (nd - 1, nd - 2) + tuple(range(nd - 2)))
+
+
+def _bn_inv(p: Dict, s: Dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(s["var"])
+    # torch state dicts carry this; strict load_state_dict expects it
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_resnet2d(params: Dict, stats: Dict, variant: str = "resnet18"
+                    ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_resnet2d: flax trees -> torchvision resnet keys."""
+    block_cls, stage_sizes = RESNET_SPECS[variant]
+    n_convs = 3 if block_cls is Bottleneck else 2
+    sd: Dict[str, np.ndarray] = {
+        "conv1.weight": _conv_inv(params["conv1"]["kernel"])}
+    _bn_inv(params["bn1"], stats["bn1"], "bn1", sd)
+    for i, n_blocks in enumerate(stage_sizes):
+        for j in range(n_blocks):
+            t, f = f"layer{i + 1}.{j}", f"layer{i + 1}_{j}"
+            bp, bs = params[f], stats[f]
+            for c in range(n_convs):
+                sd[f"{t}.conv{c + 1}.weight"] = _conv_inv(
+                    bp[f"Conv_{c}"]["kernel"])
+                _bn_inv(bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"],
+                        f"{t}.bn{c + 1}", sd)
+            if "downsample_conv" in bp:
+                sd[f"{t}.downsample.0.weight"] = _conv_inv(
+                    bp["downsample_conv"]["kernel"])
+                _bn_inv(bp["downsample_bn"], bs["downsample_bn"],
+                        f"{t}.downsample.1", sd)
+    return sd
+
+
+def export_r2plus1d(params: Dict, stats: Dict, num_stages: int = 3
+                    ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_r2plus1d: flax trees -> torchvision r2plus1d_18
+    keys (the custom space-to-depth stem stores the exact same kernel an
+    nn.Conv would, so export is layout-only)."""
+    sd: Dict[str, np.ndarray] = {
+        "stem.0.weight": _conv_inv(params["stem_spatial"]["kernel"]),
+        "stem.3.weight": _conv_inv(params["stem_temporal"]["kernel"]),
+    }
+    _bn_inv(params["stem_bn1"], stats["stem_bn1"], "stem.1", sd)
+    _bn_inv(params["stem_bn2"], stats["stem_bn2"], "stem.4", sd)
+    for i in range(num_stages):
+        for j in range(2):
+            t, f = f"layer{i + 1}.{j}", f"layer{i + 1}_{j}"
+            bp, bs = params[f], stats[f]
+            for c in (1, 2):
+                sd[f"{t}.conv{c}.0.0.weight"] = _conv_inv(
+                    bp[f"conv{c}"]["spatial"]["kernel"])
+                _bn_inv(bp[f"conv{c}"]["bn_mid"], bs[f"conv{c}"]["bn_mid"],
+                        f"{t}.conv{c}.0.1", sd)
+                sd[f"{t}.conv{c}.0.3.weight"] = _conv_inv(
+                    bp[f"conv{c}"]["temporal"]["kernel"])
+                _bn_inv(bp[f"bn{c}"], bs[f"bn{c}"], f"{t}.conv{c}.1", sd)
+            if "downsample_conv" in bp:
+                sd[f"{t}.downsample.0.weight"] = _conv_inv(
+                    bp["downsample_conv"]["kernel"])
+                _bn_inv(bp["downsample_bn"], bs["downsample_bn"],
+                        f"{t}.downsample.1", sd)
+    return sd
 
 
 def convert_r3d(sd: Dict[str, Any], num_stages: int = 3) -> Tuple[Dict, Dict]:

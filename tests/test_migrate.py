@@ -116,6 +116,62 @@ def test_migrate_ppnet_forward_parity():
                                rtol=1e-3, atol=1e-3)
 
 
+def _assert_trees_equal(a, b):
+    import jax
+
+    assert (jax.tree_util.tree_structure(a)
+            == jax.tree_util.tree_structure(b))
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)), a, b)
+
+
+def test_export_reference_roundtrip_video():
+    """Reverse migration: our trees -> reference-layout state dict that
+    (a) strict-loads into the reference-layout torch twin and (b) converts
+    back to bit-identical trees — users can move checkpoints in either
+    direction."""
+    from protoasnet_tpu.models.migrate import export_reference_state_dict
+
+    cfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
+           "backbone_last_layer_num": -3, "prototype_shape": (P, D, 1, 1, 1),
+           "num_classes": K, "img_size": 32}
+    model = build_model(cfg)
+    params, stats = init_model(model, jnp.zeros((1, 8, 32, 32, 3)), seed=2)
+    sd = export_reference_state_dict(params, stats, cfg)
+
+    ref = RefVideoXProtoNet()
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+
+    p2, s2 = convert_reference_state_dict(sd, cfg)
+    _assert_trees_equal(params, p2)
+    _assert_trees_equal(stats, s2)
+
+
+def test_export_reference_roundtrip_ppnet():
+    from protoasnet_tpu.models.migrate import export_reference_state_dict
+
+    cfg = {"name": "ProtoPNet", "base_architecture": "resnet18",
+           "prototype_shape": (6, D, 1, 1), "num_classes": 3, "img_size": 64,
+           "add_on_layers_type": "regular"}
+    model = build_model(cfg)
+    params, stats = init_model(model, jnp.zeros((1, 64, 64, 3)), seed=3)
+    sd = export_reference_state_dict(params, stats, cfg)
+
+    ref = RefPPNet()
+    # the twin omits the reference's constant 'ones' param; everything
+    # else must match strictly
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert missing == [] and unexpected == ["ones"]
+
+    p2, s2 = convert_reference_state_dict(sd, cfg)
+    _assert_trees_equal(params, p2)
+    _assert_trees_equal(stats, s2)
+
+
 def test_migrated_checkpoint_loads_into_agent(synthetic_csv, tmp_path):
     """Full migration loop: reference-layout .pth -> migrate CLI ->
     agent --model.checkpoint_path=<pickle> -> identical logits."""
