@@ -18,10 +18,12 @@ def test_zoo_shapes(name, out_c):
     model = make_backbone(name)
     assert model.out_channels == out_c
     x = jnp.zeros((1, 64, 64, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False,
-                      mutable=["batch_stats"])[0] if "batch_stats" in variables \
-        else model.apply(variables, x, train=False)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    apply = jax.jit(model.apply, static_argnames=("train", "mutable"))
+    out = apply(variables, x, train=False,
+                mutable=("batch_stats",))[0] if "batch_stats" in variables \
+        else apply(variables, x, train=False)
     assert out.shape == (1, 2, 2, out_c)  # stride 32
 
 
@@ -50,8 +52,9 @@ def test_xprotonet_with_vgg_backbone():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
                     jnp.float32)
     params, stats = init_model(model, x, seed=0)
-    logits, sim, occ = model.apply({"params": params, "batch_stats": stats},
-                                   x, train=False)
+    logits, sim, occ = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(
+            {"params": params, "batch_stats": stats}, x)
     assert logits.shape == (2, 3) and sim.shape == (2, 6)
 
 
@@ -77,8 +80,9 @@ def test_r3d18_backbone():
     m = make_backbone("r3d_18", last_layer_num=-3)
     assert m.out_channels == 256
     x = jnp.zeros((1, 8, 32, 32, 3))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    out = m.apply(v, x, train=False)
+    v = jax.jit(m.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    out = jax.jit(m.apply, static_argnames="train")(v, x, train=False)
     assert out.shape == (1, 2, 4, 4, 256)  # T/4, H/8 like r2p1d[-3]
 
     from protoasnet_tpu.models.builder import build_model, init_model
@@ -88,6 +92,7 @@ def test_r3d18_backbone():
            "num_classes": 4, "img_size": 32}
     model = build_model(cfg)
     params, stats = init_model(model, x, seed=0)
-    logits, sim, occ = model.apply({"params": params, "batch_stats": stats},
-                                   x, train=False)
+    logits, sim, occ = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(
+            {"params": params, "batch_stats": stats}, x)
     assert logits.shape == (1, 4)

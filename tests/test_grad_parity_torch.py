@@ -126,7 +126,9 @@ def test_full_model_loss_and_grad_parity():
         l1 = L.l_norm_fc(p["last_layer"]["Dense_0"]["kernel"], jnp.asarray(ident))
         return ce + 0.8 * cluster + 0.08 * sep + 1e-4 * l1
 
-    loss_j, grads = jax.value_and_grad(jax_loss)(params)
+    # jitted: the eager grad would dispatch ~400 op-level programs (~25 s
+    # on this 1-core host); one compiled program is ~2 s warm-cache
+    loss_j, grads = jax.jit(jax.value_and_grad(jax_loss))(params)
 
     xt = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)), requires_grad=False)
     loss_t = torch_loss(tm, xt, torch.tensor(y), ident)

@@ -2,6 +2,7 @@
 REFERENCE's module/key layout converts into our params and reproduces its
 forward outputs at fp32 tolerance."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -64,8 +65,9 @@ def test_migrate_video_xprotonet_forward_parity():
             == jax.tree_util.tree_structure(
                 jax.tree_util.tree_map(jnp.asarray, params)))
 
-    logits, sim, occ = model.apply(
-        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    logits, sim, occ = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         lt, st, ot = ref(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
     np.testing.assert_allclose(np.asarray(logits), lt.numpy(),
@@ -105,9 +107,12 @@ def test_migrate_ppnet_forward_parity():
            "add_on_layers_type": "regular"}
     params, stats = convert_reference_state_dict(ref.state_dict(), cfg)
     model = build_model(cfg)
+    import jax
+
     x = np.random.default_rng(9).normal(size=(2, 64, 64, 3)).astype(np.float32)
-    logits, min_d = model.apply(
-        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    logits, min_d = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         lt, dt = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
     np.testing.assert_allclose(np.asarray(min_d), dt.numpy(),

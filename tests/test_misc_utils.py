@@ -28,17 +28,21 @@ def test_prune_prototypes_shapes_and_forward():
     assert new_params["last_layer"]["Dense_0"]["kernel"].shape == (6, 4)
     assert new_ident.shape == (6, 4)
     assert keep == [0, 2, 3, 4, 6, 7]
+    import jax
+
     # pruned model forward works with a shrunk config
     cfg2 = dict(cfg, prototype_shape=(6, 32, 1, 1, 1))
     model2 = build_model(cfg2)
-    logits, sim, occ = model2.apply({"params": new_params, "batch_stats": stats},
-                                    x, train=False)
+    logits, sim, occ = jax.jit(
+        lambda v, xx: model2.apply(v, xx, train=False))(
+            {"params": new_params, "batch_stats": stats}, x)
     assert logits.shape == (1, 4) and sim.shape == (1, 6)
     assert occ.shape[-1] == 6
     # kept prototypes' behavior is preserved: similarity of kept rows equals
     # the original model's at the same indices
-    logits0, sim0, _ = model.apply({"params": params, "batch_stats": stats},
-                                   x, train=False)
+    logits0, sim0, _ = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(
+            {"params": params, "batch_stats": stats}, x)
     np.testing.assert_allclose(np.asarray(sim)[0],
                                np.asarray(sim0)[0][np.asarray(keep)],
                                rtol=1e-5, atol=1e-5)

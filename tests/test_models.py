@@ -59,8 +59,8 @@ def video_model():
 def test_image_xprotonet_shapes(image_model):
     model, params, batch_stats = image_model
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
-    logits, sim, occ = model.apply(
-        {"params": params, "batch_stats": batch_stats}, x, train=False
+    logits, sim, occ = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": batch_stats}, x
     )
     assert logits.shape == (2, 4)
     assert sim.shape == (2, 8)
@@ -72,8 +72,8 @@ def test_image_xprotonet_shapes(image_model):
 def test_video_xprotonet_shapes(video_model):
     model, params, batch_stats = video_model
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 32, 32, 3)), jnp.float32)
-    logits, sim, occ = model.apply(
-        {"params": params, "batch_stats": batch_stats}, x, train=False
+    logits, sim, occ = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": batch_stats}, x
     )
     assert logits.shape == (2, 4)
     assert sim.shape == (2, 8)
@@ -85,10 +85,10 @@ def test_push_forward_consistency(video_model):
     model, params, batch_stats = video_model
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 32, 32, 3)), jnp.float32)
     variables = {"params": params, "batch_stats": batch_stats}
-    logits, sim, occ = model.apply(variables, x, train=False)
-    roi, dist, occ2, logits2 = model.apply(
-        variables, x, train=False, method=model.push_forward
-    )
+    logits, sim, occ = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        variables, x)
+    roi, dist, occ2, logits2 = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, method=model.push_forward))(variables, x)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dist), 1 - np.asarray(sim), atol=1e-6)
     np.testing.assert_allclose(np.asarray(occ), np.asarray(occ2), atol=1e-6)
@@ -156,17 +156,17 @@ def test_protopnet_forward_shapes():
     model = build_model(cfg)
     x = jnp.zeros((2, 64, 64, 3))
     params, batch_stats = init_model(model, x, seed=0)
-    logits, min_d = model.apply(
-        {"params": params, "batch_stats": batch_stats}, x, train=False
+    logits, min_d = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": batch_stats}, x
     )
     assert logits.shape == (2, 3)
     assert min_d.shape == (2, 6)
     assert (np.asarray(min_d) >= 0).all()
     # bottleneck plan for 512 -> 128: add_on has sigmoid output, so conv
     # features bounded in (0,1); distance bounded by D
-    conv, dist = model.apply(
-        {"params": params, "batch_stats": batch_stats}, x, train=False,
-        method=model.push_forward,
+    conv, dist = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, method=model.push_forward))(
+        {"params": params, "batch_stats": batch_stats}, x
     )
     assert conv.shape == (2, 2, 2, 128)
     assert dist.shape == (2, 2, 2, 6)
@@ -177,8 +177,9 @@ def test_backbone_truncation_levels():
 
     x = jnp.zeros((1, 8, 32, 32, 3))
     m2 = R2Plus1D18(last_layer_num=-2)
-    v = m2.init(jax.random.PRNGKey(0), x, train=False)
-    out = m2.apply(v, x, train=False)
+    v = jax.jit(m2.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    out = jax.jit(m2.apply, static_argnames="train")(v, x, train=False)
     assert out.shape == (1, 1, 2, 2, 512)  # T/8, H/16
     assert m2.out_channels == 512
 
@@ -212,9 +213,9 @@ def test_occurrence_map_softmaxed_variant():
                     .astype(np.float32))
     params, stats = init_model(model, x, seed=0)
     variables = {"params": params, "batch_stats": stats}
-    fmap = model.apply(variables, x, train=False,
-                       method=lambda m, xx, train: m.cnn_backbone(xx, train),
-                       )
+    fmap = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False,
+        method=lambda m, a, train: m.cnn_backbone(a, train)))(variables, x)
     occ_raw = model.apply(variables, fmap,
                           method=lambda m, f: m.occurrence_module(f))
     sm = model.apply(variables, fmap,

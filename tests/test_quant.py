@@ -82,7 +82,7 @@ def tiny_trained():
            ("backbone", "add_on", "occurrence", "prototypes", "last_layer")}
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    for _ in range(10):
+    for _ in range(7):  # ~2.7 s/step on this host; 7 is enough signal
         xb = rng.uniform(-0.5, 2.0, size=(4, 8, 32, 32, 3)).astype(np.float32)
         yb = rng.integers(0, 3, size=4).astype(np.int32)
         xb += yb[:, None, None, None, None] * 0.5
@@ -104,9 +104,17 @@ def calibrated(tiny_trained):
     whole module — the suite's quant cost is dominated by model compiles)."""
     model, variables, batches = tiny_trained
     scales = calibrate_act_scales(model, variables, batches)
-    fp = np.asarray(model.apply(variables, batches[1], train=False)[0],
-                    np.float64)
+    fp = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, batches[1])[0], np.float64)
     return scales, fp
+
+
+@pytest.fixture(scope="module")
+def q_apply(tiny_trained):
+    """Jitted apply_quantized (eager would re-dispatch every op)."""
+    model = tiny_trained[0]
+    return jax.jit(lambda v, q, x: apply_quantized(model, v, q, x))
 
 
 def test_default_filter_quantizes_only_backbone(calibrated):
@@ -117,15 +125,15 @@ def test_default_filter_quantizes_only_backbone(calibrated):
     assert not any("stem_spatial" in p for p in scales)
 
 
-def test_empty_qstate_is_identity(tiny_trained, calibrated):
+def test_empty_qstate_is_identity(tiny_trained, calibrated, q_apply):
     model, variables, batches = tiny_trained
     _, fp = calibrated
-    got = apply_quantized(model, variables, {}, batches[1])[0]
+    got = q_apply(variables, {}, batches[1])[0]
     np.testing.assert_array_equal(fp.astype(np.float32),
                                   np.asarray(got))
 
 
-def test_quantized_logits_faithful(tiny_trained, calibrated):
+def test_quantized_logits_faithful(tiny_trained, calibrated, q_apply):
     """End-to-end fidelity of the default (unfolded — the measured serving
     winner, see build_qstate) qstate on a trained tiny flagship."""
     model, variables, batches = tiny_trained
@@ -139,8 +147,7 @@ def test_quantized_logits_faithful(tiny_trained, calibrated):
     assert sum("fold_m" in q for q in folded.values()) >= 8
     assert all(("fold_m" in q) == p.endswith("/spatial")
                for p, q in folded.items())
-    q = np.asarray(apply_quantized(model, variables, qstate, batches[1])[0],
-                   np.float64)
+    q = np.asarray(q_apply(variables, qstate, batches[1])[0], np.float64)
     denom = np.abs(fp).max() + 1e-9
     rel = np.abs(fp - q).max() / denom
     cos = (fp * q).sum() / (np.linalg.norm(fp) * np.linalg.norm(q) + 1e-12)

@@ -1,8 +1,10 @@
 """Serving export roundtrip: serialized StableHLO artifact reproduces the
 live model's logits at multiple batch sizes (symbolic batch dim)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from protoasnet_tpu.models.builder import build_model, init_model
 from protoasnet_tpu.serve import (
@@ -13,7 +15,8 @@ from protoasnet_tpu.serve import (
 )
 
 
-def _small_model():
+@pytest.fixture(scope="module")
+def small_model():
     cfg = {"name": "XProtoNet", "base_architecture": "resnet18",
            "prototype_shape": (8, 64, 1, 1), "num_classes": 4, "img_size": 32}
     model = build_model(cfg)
@@ -22,8 +25,15 @@ def _small_model():
     return model, params, stats
 
 
-def test_export_roundtrip_multiple_batch_sizes():
-    model, params, stats = _small_model()
+@pytest.fixture(scope="module")
+def fwd(small_model):
+    """Jitted reference forward (eager apply re-dispatches every op)."""
+    model = small_model[0]
+    return jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+
+
+def test_export_roundtrip_multiple_batch_sizes(small_model, fwd):
+    model, params, stats = small_model
     blob = export_inference(model, params, stats, (32, 32, 3))
     assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
     fn = load_exported(bytes(blob))
@@ -32,29 +42,28 @@ def test_export_roundtrip_multiple_batch_sizes():
     for b in (1, 3, 5):
         x = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
         got = np.asarray(fn(variables, x))
-        want = np.asarray(model.apply(variables, x, train=False)[0])
+        want = np.asarray(fwd(variables, x))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_serving_bundle_file(tmp_path):
-    model, params, stats = _small_model()
+def test_serving_bundle_file(tmp_path, small_model, fwd):
+    model, params, stats = small_model
     path = str(tmp_path / "model.bundle")
     save_serving_bundle(path, model, params, stats, (32, 32, 3))
     fn = load_serving_bundle(path)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
                     jnp.float32)
     got = np.asarray(fn(x))
-    want = np.asarray(model.apply({"params": params, "batch_stats": stats},
-                                  x, train=False)[0])
+    want = np.asarray(fwd({"params": params, "batch_stats": stats}, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_serve_cli_predict(tmp_path, capsys):
+def test_serve_cli_predict(tmp_path, capsys, small_model, fwd):
     """python -m protoasnet_tpu.serve predict: bundle + .npy in, logits
     .npy out, chunked through a batch size smaller than the input."""
     from protoasnet_tpu.serve import main
 
-    model, params, stats = _small_model()
+    model, params, stats = small_model
     bundle = str(tmp_path / "m.bundle")
     save_serving_bundle(bundle, model, params, stats, (32, 32, 3))
     rng = np.random.default_rng(9)
@@ -63,22 +72,20 @@ def test_serve_cli_predict(tmp_path, capsys):
     main(["predict", "--bundle", bundle, "--input", str(tmp_path / "x.npy"),
           "--out", str(tmp_path / "logits.npy"), "--batch", "2"])
     logits = np.load(tmp_path / "logits.npy")
-    want = np.asarray(model.apply({"params": params, "batch_stats": stats},
-                                  jnp.asarray(x), train=False)[0])
+    want = np.asarray(fwd({"params": params, "batch_stats": stats},
+                          jnp.asarray(x)))
     np.testing.assert_allclose(logits, want, rtol=1e-5, atol=1e-5)
     assert "class" in capsys.readouterr().out
 
 
-def test_sharded_serving_matches_single_device():
+def test_sharded_serving_matches_single_device(small_model, fwd):
     """Data-parallel serving over the 8-device mesh: same logits as the
     plain forward, batch and logits sharded over 'data', no collectives
     needed (per-sample independence)."""
-    import jax
-
     from protoasnet_tpu.parallel import batch_sharding, make_mesh
     from protoasnet_tpu.serve import make_sharded_serving_fn
 
-    model, params, stats = _small_model()
+    model, params, stats = small_model
     variables = {"params": params, "batch_stats": stats}
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -88,17 +95,17 @@ def test_sharded_serving_matches_single_device():
     xs = jax.device_put(x, batch_sharding(mesh))
     got = fn(variables, xs)
     assert got.sharding.spec == batch_sharding(mesh).spec
-    want = np.asarray(model.apply(variables, x, train=False)[0])
+    want = np.asarray(fwd(variables, x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
-def test_quantized_bundle_roundtrip(tmp_path):
+def test_quantized_bundle_roundtrip(tmp_path, small_model):
     """int8 bundle: exported artifact == live quantized path exactly-ish,
     and stays a faithful approximation of the fp model."""
     from protoasnet_tpu.quant import (apply_quantized, build_qstate,
                                       calibrate_act_scales)
 
-    model, params, stats = _small_model()
+    model, params, stats = small_model
     variables = {"params": params, "batch_stats": stats}
     rng = np.random.default_rng(2)
     calib = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
@@ -112,5 +119,7 @@ def test_quantized_bundle_roundtrip(tmp_path):
     fn = load_serving_bundle(path)
     x = jnp.asarray(rng.normal(size=(3, 32, 32, 3)), jnp.float32)
     got = np.asarray(fn(x))
-    live = np.asarray(apply_quantized(model, variables, qstate, x)[0])
+    live = np.asarray(jax.jit(
+        lambda v, q, xx: apply_quantized(model, v, q, xx))(
+            variables, qstate, x)[0])
     np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)

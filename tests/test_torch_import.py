@@ -123,11 +123,12 @@ def test_resnet18_import_forward_parity():
     model = resnet_features("resnet18")
     x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
     # template init to validate structure, then substitute imported weights
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     assert jax.tree_util.tree_structure(variables["params"]) == \
         jax.tree_util.tree_structure(jax.tree_util.tree_map(jnp.asarray, params))
-    out = model.apply({"params": params, "batch_stats": stats},
-                      jnp.asarray(x), train=False)
+    out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         ref = tv(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
@@ -142,8 +143,8 @@ def test_r2plus1d_import_forward_parity():
 
     model = R2Plus1D18(last_layer_num=-3)
     x = np.random.default_rng(1).normal(size=(1, 8, 32, 32, 3)).astype(np.float32)
-    out = model.apply({"params": params, "batch_stats": stats},
-                      jnp.asarray(x), train=False)
+    out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         ref = tv(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
@@ -213,8 +214,8 @@ def test_vgg_import_forward_parity(variant):
     params, stats = convert_vgg(sd, variant)
     model = VGGFeatures(variant=variant)
     x = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(np.float32)
-    out = model.apply({"params": params, "batch_stats": stats},
-                      jnp.asarray(x), train=False)
+    out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         ref = tv(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
@@ -290,8 +291,8 @@ def test_densenet_import_forward_parity():
 
     model = DenseNetFeatures(variant="densenet121")
     x = np.random.default_rng(4).normal(size=(1, 32, 32, 3)).astype(np.float32)
-    out = model.apply({"params": params, "batch_stats": stats},
-                      jnp.asarray(x), train=False)
+    out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         ref = torch_forward(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
@@ -352,8 +353,8 @@ def test_r3d18_import_forward_parity():
     params, stats = convert_r3d(sd, num_stages=3)
     model = R3D18(last_layer_num=-3)
     x = np.random.default_rng(5).normal(size=(1, 8, 32, 32, 3)).astype(np.float32)
-    out = model.apply({"params": params, "batch_stats": stats},
-                      jnp.asarray(x), train=False)
+    out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
     with torch.no_grad():
         ref = tv(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
