@@ -27,7 +27,8 @@ import numpy as np
 from jax import export as jexport
 
 __all__ = ["export_inference", "load_exported", "save_serving_bundle",
-           "load_serving_bundle", "make_sharded_serving_fn"]
+           "load_serving_bundle", "bundle_input_spec",
+           "make_sharded_serving_fn"]
 
 
 def make_sharded_serving_fn(model, mesh, qstate=None):
@@ -131,6 +132,19 @@ def save_serving_bundle(path: str, model, params, batch_stats,
         z.writestr("treedef.pickle", pickle.dumps(treedef))
 
 
+def bundle_input_spec(path: str) -> Tuple[Tuple, Any]:
+    """(shape, dtype) of a bundle's input x; symbolic dims come back None.
+
+    Lets a serving host (server.py) size warmup buffers without any
+    model-building code: the x aval is the last flattened input of the
+    exported call (variables leaves first, x last)."""
+    with zipfile.ZipFile(path) as z:
+        exported = jexport.deserialize(z.read("model.stablehlo"))
+    aval = exported.in_avals[-1]
+    shape = tuple(d if isinstance(d, int) else None for d in aval.shape)
+    return shape, aval.dtype
+
+
 def load_serving_bundle(path: str) -> Callable:
     """Load a bundle; returns fn(x) -> logits with weights bound."""
     with zipfile.ZipFile(path) as z:
@@ -166,7 +180,11 @@ def _export_cmd(args) -> None:
     config["save_dir"] = args.run_dir  # auto-resume loads last.ckpt
     config["train"]["save"] = False
     agent = build_agent(config)
-    assert agent.current_epoch > 0, f"no checkpoint loaded from {args.run_dir}"
+    # current_epoch is the reference's resume convention (the index of the
+    # last epoch run, 0 after a 1-epoch train); iteration counts micro-steps
+    # and is > 0 for ANY trained checkpoint.
+    assert agent.current_iteration > 0 or agent.current_epoch > 0, \
+        f"no trained checkpoint loaded from {args.run_dir}"
 
     data = config.get("data", {})
     s = int(data.get("img_size", 112))

@@ -1,0 +1,366 @@
+"""Serving daemon: dynamic batching over a loaded bundle, HTTP front end.
+
+The reference ships no serving story (train/eval scripts only,
+`main.py:18-59`); `serve.py` added the export/predict loop, and this module
+closes the deployment picture with a long-running server.
+
+TPU-shaped design decisions:
+
+- **One dispatch thread.** All jax calls happen on the batcher's single
+  worker thread; HTTP handler threads only do numpy + queue ops. This is
+  the same rule the data loader obeys (CLAUDE.md): a second jax-dispatching
+  thread degrades relay/PCIe throughput badly, and single-dispatch keeps
+  the device queue ordered so latency is predictable.
+- **Bucketed batch shapes.** Even a shape-polymorphic export compiles one
+  XLA executable per concrete batch size, so arbitrary request sizes would
+  compile-storm the server. Requests are coalesced and padded up to a
+  fixed bucket ladder (powers of two up to ``max_batch``); the compile set
+  is finite and can be fully warmed at startup (``warmup=True``).
+- **Delay-window coalescing.** The dispatcher blocks for the first
+  request, then drains the queue for at most ``max_delay_ms`` or until
+  ``max_batch`` samples are gathered — at high offered load batches ride
+  at the chip's serving sweet spot (128 on v5e, BASELINE.md) with zero
+  added latency, at low load a lone request pays at most the delay window.
+
+Usage:
+    python -m protoasnet_tpu.server --bundle model.bundle --port 8300
+    # POST /v1/predict   body = .npy bytes (b, [T,] H, W, 3) -> .npy logits
+    # GET  /healthz      liveness
+    # GET  /v1/stats     batching/latency counters (JSON)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["DynamicBatcher", "BatcherStats", "make_handler", "serve_forever"]
+
+
+def _bucket_ladder(max_batch: int) -> Tuple[int, ...]:
+    """1, 2, 4, ... up to and including max_batch."""
+    out = []
+    b = 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+class BatcherStats:
+    """Lock-protected counters; snapshot() returns a JSON-safe dict."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.samples = 0
+        self.batches = 0
+        self.padded_samples = 0  # wasted slots from bucket padding
+        self.errors = 0
+        self.bucket_counts: dict = {}
+        self._lat_ms: List[float] = []  # ring buffer of request latencies
+
+    def record_batch(self, n_real: int, bucket: int, lat_ms: Sequence[float]):
+        with self._lock:
+            self.batches += 1
+            self.samples += n_real
+            self.padded_samples += bucket - n_real
+            self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
+            self._lat_ms.extend(lat_ms)
+            if len(self._lat_ms) > 4096:
+                self._lat_ms = self._lat_ms[-4096:]
+
+    def record_request(self):
+        with self._lock:
+            self.requests += 1
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+            pct = (lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+                   if lat else None)
+            return {
+                "requests": self.requests,
+                "samples": self.samples,
+                "batches": self.batches,
+                "mean_batch": (self.samples / self.batches
+                               if self.batches else None),
+                "padding_frac": (self.padded_samples /
+                                 max(1, self.samples + self.padded_samples)),
+                "errors": self.errors,
+                "bucket_counts": {str(k): v
+                                  for k, v in sorted(self.bucket_counts.items())},
+                "latency_ms_p50": pct(0.50),
+                "latency_ms_p95": pct(0.95),
+                "latency_ms_p99": pct(0.99),
+            }
+
+
+class _Pending:
+    __slots__ = ("x", "event", "result", "error", "t_submit")
+
+    def __init__(self, x: np.ndarray):
+        self.x = x              # (n, ...) float32, n >= 1
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.t_submit = time.monotonic()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent requests into bucketed batches on ONE thread.
+
+    fn: the model function, e.g. ``serve.load_serving_bundle(path)`` —
+        called as ``fn(x)`` with x float32 (bucket, *sample_shape); must
+        return per-sample outputs with leading dim == bucket. Called only
+        from the dispatch thread.
+    """
+
+    def __init__(self, fn: Callable, max_batch: int = 128,
+                 max_delay_ms: float = 5.0,
+                 buckets: Optional[Sequence[int]] = None):
+        assert max_batch >= 1
+        self.fn = fn
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.buckets = tuple(sorted(buckets)) if buckets else \
+            _bucket_ladder(self.max_batch)
+        assert self.buckets[-1] >= self.max_batch
+        self.stats = BatcherStats()
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="batcher-dispatch")
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, x: np.ndarray, timeout: Optional[float] = None
+               ) -> np.ndarray:
+        """Block until the batch containing ``x`` is served; returns the
+        outputs for x's rows. x: (n, *sample_shape) float32, n <= max_batch
+        (larger requests should be split by the caller)."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        if x.ndim < 2:
+            raise ValueError("submit expects a batched array (n, ...)")
+        if len(x) > self.max_batch:
+            raise ValueError(f"request batch {len(x)} > max_batch "
+                             f"{self.max_batch}; split the request")
+        self.stats.record_request()
+        p = _Pending(np.ascontiguousarray(x, dtype=np.float32))
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    # -- dispatch thread ----------------------------------------------------
+
+    def warmup(self, sample_shape: Sequence[int],
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Compile every bucket up front (one fn call per bucket) so no
+        live request pays a compile. Runs on the caller's thread — call
+        before serving traffic."""
+        for b in (buckets or self.buckets):
+            x = np.zeros((b, *sample_shape), np.float32)
+            np.asarray(self.fn(x))
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                break
+            group = [first]
+            total = len(first.x)
+            deadline = time.monotonic() + self.max_delay_s
+            # drain until the window closes or the max bucket fills
+            while total < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    # grab whatever is already queued, but don't wait more
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                else:
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                if nxt is None:
+                    self._flush(group, total)
+                    return
+                if total + len(nxt.x) > self.max_batch:
+                    # doesn't fit: serve the current group, start fresh
+                    self._flush(group, total)
+                    group, total = [nxt], len(nxt.x)
+                    deadline = time.monotonic() + self.max_delay_s
+                    continue
+                group.append(nxt)
+                total += len(nxt.x)
+            self._flush(group, total)
+
+    def _flush(self, group: List[_Pending], total: int):
+        bucket = self._pick_bucket(total)
+        x = np.zeros((bucket, *group[0].x.shape[1:]), np.float32)
+        ofs = 0
+        try:
+            for p in group:
+                x[ofs:ofs + len(p.x)] = p.x
+                ofs += len(p.x)
+            out = np.asarray(self.fn(x), np.float32)
+            t_done = time.monotonic()
+            ofs = 0
+            lats = []
+            for p in group:
+                p.result = out[ofs:ofs + len(p.x)]
+                ofs += len(p.x)
+                lats.append((t_done - p.t_submit) * 1e3)
+                p.event.set()
+            self.stats.record_batch(total, bucket, lats)
+        except BaseException as e:  # noqa: BLE001 — propagate to all waiters
+            self.stats.record_error()
+            for p in group:
+                if not p.event.is_set():
+                    p.error = e
+                    p.event.set()
+
+
+# --- HTTP front end ---------------------------------------------------------
+
+
+def make_handler(batcher: DynamicBatcher, sample_ndim: int,
+                 timeout_s: float = 60.0):
+    """BaseHTTPRequestHandler subclass bound to ``batcher``.
+
+    sample_ndim: rank WITHOUT batch (4 for video (T,H,W,3), 3 for image).
+    Accepts request bodies with or without the batch dim."""
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/v1/stats":
+                self._send(200, json.dumps(
+                    batcher.stats.snapshot()).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                x = np.load(io.BytesIO(self.rfile.read(n)),
+                            allow_pickle=False)
+                if x.ndim == sample_ndim:
+                    x = x[None]
+                if x.ndim != sample_ndim + 1:
+                    raise ValueError(
+                        f"expected rank {sample_ndim} or {sample_ndim + 1}, "
+                        f"got {x.ndim}")
+                outs = []
+                for i in range(0, len(x), batcher.max_batch):
+                    outs.append(batcher.submit(
+                        x[i:i + batcher.max_batch].astype(np.float32),
+                        timeout=timeout_s))
+                buf = io.BytesIO()
+                np.save(buf, np.concatenate(outs))
+                self._send(200, buf.getvalue())
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._send(400, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")
+
+    return Handler
+
+
+def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
+                  max_batch: int = 128, max_delay_ms: float = 5.0,
+                  warmup: bool = True, ready_event=None):
+    """Load a bundle and serve it until interrupted."""
+    from http.server import ThreadingHTTPServer
+
+    from protoasnet_tpu.serve import bundle_input_spec, load_serving_bundle
+
+    fn = load_serving_bundle(bundle_path)
+    shape, _ = bundle_input_spec(bundle_path)
+    sample_shape = shape[1:]  # drop the (symbolic) batch dim
+    batcher = DynamicBatcher(fn, max_batch=max_batch,
+                             max_delay_ms=max_delay_ms)
+    if warmup:
+        t0 = time.monotonic()
+        batcher.warmup(sample_shape)
+        print(f"warmed {len(batcher.buckets)} buckets "
+              f"{batcher.buckets} in {time.monotonic() - t0:.1f}s")
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(batcher, sample_ndim=len(sample_shape)))
+    if ready_event is not None:
+        ready_event.set()
+    print(f"serving {bundle_path} on {host}:{httpd.server_address[1]} "
+          f"(max_batch={max_batch}, window={max_delay_ms}ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        batcher.close()
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m protoasnet_tpu.server")
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8300)
+    ap.add_argument("--max_batch", type=int, default=128,
+                    help="serving sweet spot: 128 on v5e (BASELINE.md)")
+    ap.add_argument("--max_delay_ms", type=float, default=5.0)
+    ap.add_argument("--no_warmup", action="store_true")
+    a = ap.parse_args(argv)
+    serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
+                  warmup=not a.no_warmup)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Serving daemon: dynamic batching correctness (coalescing, bucket padding,
+ordering, error propagation) + the HTTP front end end-to-end.
+
+Batcher-logic tests run against plain numpy fns (no compiles); one
+integration test drives the HTTP server over a real exported bundle."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from protoasnet_tpu.server import DynamicBatcher, _bucket_ladder, make_handler
+
+
+def _identity_sum(x):
+    """Per-sample reduction that exposes padding bugs (padding rows -> 0)."""
+    return x.sum(axis=(1, 2))
+
+
+def test_bucket_ladder():
+    assert _bucket_ladder(1) == (1,)
+    assert _bucket_ladder(8) == (1, 2, 4, 8)
+    assert _bucket_ladder(12) == (1, 2, 4, 8, 12)
+    assert _bucket_ladder(128) == (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def test_single_request_roundtrip():
+    b = DynamicBatcher(_identity_sum, max_batch=8, max_delay_ms=1.0)
+    try:
+        x = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+        out = b.submit(x)
+        np.testing.assert_allclose(out, x.sum(axis=(1, 2)))
+        assert b.stats.snapshot()["samples"] == 2
+    finally:
+        b.close()
+
+
+def test_concurrent_requests_coalesce_and_map_back():
+    """N threads submit distinct inputs inside one delay window; every
+    caller gets exactly its own rows back and the batch count shows
+    coalescing happened."""
+    calls = []
+
+    def fn(x):
+        calls.append(len(x))
+        return _identity_sum(x)
+
+    b = DynamicBatcher(fn, max_batch=16, max_delay_ms=200.0)
+    results = {}
+    errs = []
+
+    def worker(i):
+        x = np.full((1, 4, 4), float(i + 1), np.float32)
+        try:
+            results[i] = b.submit(x, timeout=30)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for i in range(6):
+            np.testing.assert_allclose(results[i], [(i + 1) * 16.0])
+        snap = b.stats.snapshot()
+        assert snap["samples"] == 6
+        # 6 samples in a 200ms window must land in far fewer than 6 batches
+        assert snap["batches"] < 6
+        assert snap["mean_batch"] > 1.0
+    finally:
+        b.close()
+
+
+def test_bucket_padding_is_invisible():
+    """3 samples pad to bucket 4; caller sees exactly 3 rows, correct."""
+    seen = []
+
+    def fn(x):
+        seen.append(x.shape[0])
+        return _identity_sum(x)
+
+    b = DynamicBatcher(fn, max_batch=8, max_delay_ms=1.0)
+    try:
+        x = np.ones((3, 2, 2), np.float32)
+        out = b.submit(x)
+        assert out.shape == (3,)
+        np.testing.assert_allclose(out, [4.0, 4.0, 4.0])
+        assert seen == [4]  # padded to the 4-bucket
+        assert b.stats.snapshot()["padding_frac"] == pytest.approx(0.25)
+    finally:
+        b.close()
+
+
+def test_oversized_group_splits_into_two_batches():
+    """Requests that overflow max_batch are served as separate flushes."""
+    seen = []
+
+    def fn(x):
+        seen.append(x.shape[0])
+        return _identity_sum(x)
+
+    b = DynamicBatcher(fn, max_batch=4, max_delay_ms=300.0)
+    try:
+        outs = {}
+
+        def worker(i):
+            outs[i] = b.submit(np.full((3, 2, 2), float(i), np.float32),
+                               timeout=30)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        np.testing.assert_allclose(outs[0], [0.0] * 3)
+        np.testing.assert_allclose(outs[1], [4.0] * 3)
+        assert sorted(seen) == [4, 4]  # two flushes, each 3 -> bucket 4
+    finally:
+        b.close()
+
+
+def test_request_larger_than_max_batch_rejected():
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="split the request"):
+            b.submit(np.ones((5, 2, 2), np.float32))
+    finally:
+        b.close()
+
+
+def test_error_propagates_to_waiter_and_batcher_survives():
+    state = {"fail": True}
+
+    def fn(x):
+        if state["fail"]:
+            raise RuntimeError("boom")
+        return _identity_sum(x)
+
+    b = DynamicBatcher(fn, max_batch=4, max_delay_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit(np.ones((1, 2, 2), np.float32), timeout=10)
+        state["fail"] = False
+        out = b.submit(np.ones((1, 2, 2), np.float32), timeout=10)
+        np.testing.assert_allclose(out, [4.0])
+        assert b.stats.snapshot()["errors"] == 1
+    finally:
+        b.close()
+
+
+# --- HTTP front end ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.models.builder import build_model, init_model
+
+    cfg = {"name": "XProtoNet", "base_architecture": "resnet18",
+           "prototype_shape": (8, 64, 1, 1), "num_classes": 4, "img_size": 32}
+    model = build_model(cfg)
+    params, stats = init_model(model, jnp.zeros((1, 32, 32, 3)), seed=0)
+    return model, params, stats
+
+
+@pytest.fixture(scope="module")
+def fwd(small_model):
+    import jax
+
+    model = small_model[0]
+    return jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+
+
+def _post_npy(url, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+
+@pytest.fixture()
+def http_server():
+    """Ephemeral-port server over a numpy fn; yields (base_url, batcher)."""
+    batcher = DynamicBatcher(_identity_sum, max_batch=8, max_delay_ms=2.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(batcher, sample_ndim=2))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", batcher
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_http_predict_health_stats(http_server):
+    url, _ = http_server
+    with urllib.request.urlopen(url + "/healthz", timeout=10) as r:
+        assert r.read() == b"ok"
+    x = np.random.default_rng(0).normal(size=(3, 4, 4)).astype(np.float32)
+    out = _post_npy(url + "/v1/predict", x)
+    np.testing.assert_allclose(out, x.sum(axis=(1, 2)), rtol=1e-6)
+    # single sample without batch dim is accepted too
+    out1 = _post_npy(url + "/v1/predict", x[0])
+    np.testing.assert_allclose(out1, x[:1].sum(axis=(1, 2)), rtol=1e-6)
+    with urllib.request.urlopen(url + "/v1/stats", timeout=10) as r:
+        snap = json.loads(r.read())
+    assert snap["samples"] == 4 and snap["latency_ms_p50"] is not None
+
+
+def test_http_request_over_max_batch_is_chunked(http_server):
+    url, batcher = http_server
+    x = np.ones((19, 4, 4), np.float32)  # > max_batch=8 -> 3 chunks
+    out = _post_npy(url + "/v1/predict", x)
+    assert out.shape == (19,)
+    np.testing.assert_allclose(out, 16.0)
+    assert batcher.stats.snapshot()["batches"] >= 3
+
+
+def test_http_bad_payload_is_400(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(url + "/v1/predict", data=b"not npy",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+
+
+def test_http_bundle_end_to_end(tmp_path, small_model, fwd):
+    """Real path: exported bundle -> bundle_input_spec -> warmed batcher ->
+    HTTP predict matches the live jitted forward."""
+    from protoasnet_tpu.serve import (bundle_input_spec,
+                                      load_serving_bundle,
+                                      save_serving_bundle)
+
+    model, params, stats = small_model
+    path = str(tmp_path / "model.bundle")
+    save_serving_bundle(path, model, params, stats, (32, 32, 3))
+
+    shape, dtype = bundle_input_spec(path)
+    assert shape == (None, 32, 32, 3) and dtype == np.float32
+
+    fn = load_serving_bundle(path)
+    batcher = DynamicBatcher(fn, max_batch=4, max_delay_ms=2.0,
+                             buckets=(1, 2, 4))
+    batcher.warmup(shape[1:])
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(batcher, sample_ndim=3))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        x = np.random.default_rng(2).normal(size=(3, 32, 32, 3)) \
+            .astype(np.float32)
+        got = _post_npy(url + "/v1/predict", x)
+        want = np.asarray(fwd({"params": params, "batch_stats": stats}, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_low_load_latency_bounded_by_window():
+    """A lone request must not wait for a full batch — only the window."""
+    b = DynamicBatcher(_identity_sum, max_batch=128, max_delay_ms=20.0)
+    try:
+        t0 = time.monotonic()
+        b.submit(np.ones((1, 2, 2), np.float32), timeout=10)
+        elapsed = time.monotonic() - t0
+        assert elapsed < 5.0  # window is 20ms; generous CI bound
+    finally:
+        b.close()
