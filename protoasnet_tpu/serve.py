@@ -68,7 +68,8 @@ def make_sharded_serving_fn(model, mesh, qstate=None):
 
 
 def export_inference(model, params, batch_stats, input_shape: Sequence[int],
-                     symbolic_batch: bool = True, qstate=None) -> bytes:
+                     symbolic_batch: bool = True, qstate=None,
+                     uint8_gray: bool = False) -> bytes:
     """Serialize ``apply(variables, x) -> logits`` to portable bytes.
 
     input_shape: per-sample shape WITHOUT the batch dim, e.g.
@@ -78,6 +79,12 @@ def export_inference(model, params, batch_stats, input_shape: Sequence[int],
     artifact then runs the int8 backbone (quantization happens at trace
     time, so the StableHLO carries the int8 convs; measured 1.46x serving
     throughput on v5e, experiments/int8_serving_ab.py).
+
+    uint8_gray: the artifact takes raw grayscale uint8 frames (input_shape
+    minus the channel dim) and runs the eval-loader transform on device
+    (/255, echo normalize, gray->3ch broadcast — data/transforms.py) —
+    12x fewer wire + H2D bytes per clip than normalized float32 RGB, the
+    same reason the training loader stages uint8 (CLAUDE.md loader rule).
     """
     base = {"params": params, "batch_stats": batch_stats}
     if qstate is None:
@@ -94,11 +101,24 @@ def export_inference(model, params, batch_stats, input_shape: Sequence[int],
             return apply_quantized(model, vq["variables"], vq["qstate"],
                                    x)[0]
 
+    x_shape, x_dtype = tuple(input_shape), jnp.float32
+    if uint8_gray:
+        from protoasnet_tpu.data.transforms import normalize
+
+        assert input_shape[-1] == 3, "expected a trailing channel dim"
+        x_shape, x_dtype = tuple(input_shape[:-1]), jnp.uint8
+        inner = forward
+
+        def forward(variables, x):  # noqa: F811 — wraps the model forward
+            xf = normalize(x.astype(jnp.float32) * (1.0 / 255.0))
+            xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+            return inner(variables, xf)
+
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
-        x_spec = jax.ShapeDtypeStruct((b, *input_shape), jnp.float32)
+        x_spec = jax.ShapeDtypeStruct((b, *x_shape), x_dtype)
     else:
-        x_spec = jax.ShapeDtypeStruct((1, *input_shape), jnp.float32)
+        x_spec = jax.ShapeDtypeStruct((1, *x_shape), x_dtype)
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
     )
@@ -113,13 +133,14 @@ def load_exported(blob: bytes) -> Callable:
 
 
 def save_serving_bundle(path: str, model, params, batch_stats,
-                        input_shape: Sequence[int], qstate=None) -> None:
+                        input_shape: Sequence[int], qstate=None,
+                        uint8_gray: bool = False) -> None:
     """One-file serving bundle: exported StableHLO + weights (npz-in-zip).
 
     With ``qstate`` the bundle serves the int8 backbone and ships the int8
     kernels (smaller than fp32 and ~1.46x faster on the chip)."""
     blob = export_inference(model, params, batch_stats, input_shape,
-                            qstate=qstate)
+                            qstate=qstate, uint8_gray=uint8_gray)
     variables = {"params": params, "batch_stats": batch_stats}
     if qstate is not None:
         variables = {"variables": variables, "qstate": qstate}
@@ -159,6 +180,7 @@ def load_serving_bundle(path: str) -> Callable:
 # --- deployment CLI -------------------------------------------------------
 # python -m protoasnet_tpu.serve export  --run_dir <trained run> --out b.zip
 #                                        [--int8] [--calib_batches 4]
+#                                        [--uint8_input]
 # python -m protoasnet_tpu.serve predict --bundle b.zip --input x.npy
 #                                        [--out logits.npy] [--batch 128]
 # The reference ships no serving story at all (train/eval scripts only);
@@ -207,19 +229,23 @@ def _export_cmd(args) -> None:
         print(f"calibrated {len(scales)} convs for w8a8")
 
     save_serving_bundle(args.out, agent.model, agent.params,
-                        agent.batch_stats, input_shape, qstate=qstate)
+                        agent.batch_stats, input_shape, qstate=qstate,
+                        uint8_gray=args.uint8_input)
     import os as _os
 
+    shown = input_shape[:-1] if args.uint8_input else input_shape
     print(f"wrote {args.out} ({_os.path.getsize(args.out) / 1e6:.1f} MB, "
-          f"input (b, {', '.join(map(str, input_shape))})"
+          f"input (b, {', '.join(map(str, shown))})"
+          f"{' uint8 gray' if args.uint8_input else ''}"
           f"{', int8 backbone' if qstate is not None else ''})")
 
 
 def _predict_cmd(args) -> None:
     fn = load_serving_bundle(args.bundle)
+    _, want_dtype = bundle_input_spec(args.bundle)
     x = np.load(args.input)
-    if x.dtype != np.float32:
-        x = x.astype(np.float32)
+    if x.dtype != want_dtype:
+        x = x.astype(want_dtype)
     out = []
     for i in range(0, len(x), args.batch):
         # float32: bf16-flagship bundles emit ml_dtypes.bfloat16, which
@@ -246,6 +272,9 @@ def main(argv=None) -> None:
     ex.add_argument("--out", required=True)
     ex.add_argument("--int8", action="store_true",
                     help="w8a8 backbone (1.46x measured on v5e)")
+    ex.add_argument("--uint8_input", action="store_true",
+                    help="artifact takes raw grayscale uint8 frames and "
+                         "normalizes on device (12x fewer H2D bytes)")
     ex.add_argument("--calib_batches", type=int, default=4)
     ex.set_defaults(fn=_export_cmd)
     pr = sub.add_parser("predict", help="bundle + .npy input -> logits")

@@ -111,7 +111,7 @@ class _Pending:
     __slots__ = ("x", "event", "result", "error", "t_submit")
 
     def __init__(self, x: np.ndarray):
-        self.x = x              # (n, ...) float32, n >= 1
+        self.x = x              # (n, ...) batcher dtype, n >= 1
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
@@ -122,16 +122,18 @@ class DynamicBatcher:
     """Coalesce concurrent requests into bucketed batches on ONE thread.
 
     fn: the model function, e.g. ``serve.load_serving_bundle(path)`` —
-        called as ``fn(x)`` with x float32 (bucket, *sample_shape); must
+        called as ``fn(x)`` with x ``dtype`` (bucket, *sample_shape); must
         return per-sample outputs with leading dim == bucket. Called only
         from the dispatch thread.
     """
 
     def __init__(self, fn: Callable, max_batch: int = 128,
                  max_delay_ms: float = 5.0,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 dtype=np.float32):
         assert max_batch >= 1
         self.fn = fn
+        self.dtype = np.dtype(dtype)  # uint8 for --uint8_input bundles
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.buckets = tuple(sorted(buckets)) if buckets else \
@@ -149,7 +151,7 @@ class DynamicBatcher:
     def submit(self, x: np.ndarray, timeout: Optional[float] = None
                ) -> np.ndarray:
         """Block until the batch containing ``x`` is served; returns the
-        outputs for x's rows. x: (n, *sample_shape) float32, n <= max_batch
+        outputs for x's rows. x: (n, *sample_shape), n <= max_batch
         (larger requests should be split by the caller)."""
         if self._closed:
             raise RuntimeError("batcher is closed")
@@ -159,7 +161,7 @@ class DynamicBatcher:
             raise ValueError(f"request batch {len(x)} > max_batch "
                              f"{self.max_batch}; split the request")
         self.stats.record_request()
-        p = _Pending(np.ascontiguousarray(x, dtype=np.float32))
+        p = _Pending(np.ascontiguousarray(x, dtype=self.dtype))
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("inference timed out")
@@ -180,7 +182,7 @@ class DynamicBatcher:
         live request pays a compile. Runs on the caller's thread — call
         before serving traffic."""
         for b in (buckets or self.buckets):
-            x = np.zeros((b, *sample_shape), np.float32)
+            x = np.zeros((b, *sample_shape), self.dtype)
             np.asarray(self.fn(x))
 
     def _pick_bucket(self, n: int) -> int:
@@ -193,6 +195,7 @@ class DynamicBatcher:
         while True:
             first = self._q.get()
             if first is None:
+                self._drain_closed()
                 break
             group = [first]
             total = len(first.x)
@@ -213,6 +216,7 @@ class DynamicBatcher:
                         break
                 if nxt is None:
                     self._flush(group, total)
+                    self._drain_closed()
                     return
                 if total + len(nxt.x) > self.max_batch:
                     # doesn't fit: serve the current group, start fresh
@@ -224,9 +228,21 @@ class DynamicBatcher:
                 total += len(nxt.x)
             self._flush(group, total)
 
+    def _drain_closed(self):
+        """After the shutdown sentinel: fail any requests still queued so
+        their waiters don't hang until timeout."""
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = RuntimeError("batcher closed")
+                p.event.set()
+
     def _flush(self, group: List[_Pending], total: int):
         bucket = self._pick_bucket(total)
-        x = np.zeros((bucket, *group[0].x.shape[1:]), np.float32)
+        x = np.zeros((bucket, *group[0].x.shape[1:]), self.dtype)
         ofs = 0
         try:
             for p in group:
@@ -301,7 +317,7 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                 outs = []
                 for i in range(0, len(x), batcher.max_batch):
                     outs.append(batcher.submit(
-                        x[i:i + batcher.max_batch].astype(np.float32),
+                        x[i:i + batcher.max_batch].astype(batcher.dtype),
                         timeout=timeout_s))
                 buf = io.BytesIO()
                 np.save(buf, np.concatenate(outs))
@@ -322,10 +338,10 @@ def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
     from protoasnet_tpu.serve import bundle_input_spec, load_serving_bundle
 
     fn = load_serving_bundle(bundle_path)
-    shape, _ = bundle_input_spec(bundle_path)
+    shape, dtype = bundle_input_spec(bundle_path)
     sample_shape = shape[1:]  # drop the (symbolic) batch dim
     batcher = DynamicBatcher(fn, max_batch=max_batch,
-                             max_delay_ms=max_delay_ms)
+                             max_delay_ms=max_delay_ms, dtype=dtype)
     if warmup:
         t0 = time.monotonic()
         batcher.warmup(sample_shape)

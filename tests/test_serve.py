@@ -123,3 +123,30 @@ def test_quantized_bundle_roundtrip(tmp_path, small_model):
         lambda v, q, xx: apply_quantized(model, v, q, xx))(
             variables, qstate, x)[0])
     np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)
+
+
+def test_uint8_gray_bundle_matches_manual_transform(tmp_path, small_model,
+                                                    fwd):
+    """uint8_gray bundle: raw grayscale uint8 in, on-device /255 + echo
+    normalize + gray->3ch broadcast (the eval-loader math,
+    data/transforms.py) baked into the artifact; logits match running the
+    transform by hand then the float32 forward."""
+    from protoasnet_tpu.data.transforms import normalize
+    from protoasnet_tpu.serve import bundle_input_spec
+
+    model, params, stats = small_model
+    path = str(tmp_path / "model_u8.bundle")
+    save_serving_bundle(path, model, params, stats, (32, 32, 3),
+                        uint8_gray=True)
+    shape, dtype = bundle_input_spec(path)
+    assert shape == (None, 32, 32) and dtype == np.uint8
+
+    fn = load_serving_bundle(path)
+    rng = np.random.default_rng(7)
+    xu8 = rng.integers(0, 256, size=(3, 32, 32), dtype=np.uint8)
+    got = np.asarray(fn(xu8), np.float32)
+
+    xf = normalize(jnp.asarray(xu8, jnp.float32) / 255.0)
+    xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+    want = np.asarray(fwd({"params": params, "batch_stats": stats}, xf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -158,6 +158,21 @@ def test_error_propagates_to_waiter_and_batcher_survives():
         b.close()
 
 
+def test_close_fails_straggler_requests_fast():
+    """A request racing past close() is failed by the drain, not left to
+    hang until its timeout."""
+    from protoasnet_tpu.server import _Pending
+
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+    straggler = _Pending(np.ones((1, 2, 2), np.float32))
+    b._q.put(None)       # what close() enqueues
+    b._q.put(straggler)  # raced in behind the sentinel
+    assert straggler.event.wait(10)
+    assert isinstance(straggler.error, RuntimeError)
+    b._thread.join(timeout=10)
+    assert not b._thread.is_alive()
+
+
 # --- HTTP front end ----------------------------------------------------------
 
 
@@ -282,5 +297,24 @@ def test_low_load_latency_bounded_by_window():
         b.submit(np.ones((1, 2, 2), np.float32), timeout=10)
         elapsed = time.monotonic() - t0
         assert elapsed < 5.0  # window is 20ms; generous CI bound
+    finally:
+        b.close()
+
+
+def test_uint8_dtype_batcher_pads_and_serves():
+    """uint8 bundles: the batcher stages uint8 end to end (12x fewer
+    wire/H2D bytes than float32 RGB); padding stays invisible."""
+    seen_dtypes = []
+
+    def fn(x):
+        seen_dtypes.append(x.dtype)
+        return x.astype(np.float32).sum(axis=(1, 2))
+
+    b = DynamicBatcher(fn, max_batch=8, max_delay_ms=1.0, dtype=np.uint8)
+    try:
+        x = np.full((3, 2, 2), 7, np.uint8)
+        out = b.submit(x)
+        np.testing.assert_allclose(out, [28.0, 28.0, 28.0])
+        assert seen_dtypes == [np.dtype(np.uint8)]
     finally:
         b.close()
