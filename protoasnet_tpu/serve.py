@@ -28,10 +28,11 @@ from jax import export as jexport
 
 __all__ = ["export_inference", "load_exported", "save_serving_bundle",
            "load_serving_bundle", "bundle_input_spec",
-           "make_sharded_serving_fn"]
+           "make_sharded_serving_fn", "load_trained_agent"]
 
 
-def make_sharded_serving_fn(model, mesh, qstate=None):
+def make_sharded_serving_fn(model, mesh, qstate=None,
+                            uint8_gray: bool = False):
     """Data-parallel serving across a device mesh.
 
     Returns ``fn(variables, x) -> logits`` jitted with the batch sharded
@@ -62,6 +63,16 @@ def make_sharded_serving_fn(model, mesh, qstate=None):
         def forward(vq, x):
             return apply_quantized(model, vq["variables"], vq["qstate"],
                                    x)[0]
+
+    if uint8_gray:
+        from protoasnet_tpu.data.transforms import normalize
+
+        inner = forward
+
+        def forward(variables, x):  # noqa: F811 — on-device eval transform
+            xf = normalize(x.astype(jnp.float32) * (1.0 / 255.0))
+            xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+            return inner(variables, xf)
 
     return jax.jit(forward, in_shardings=(repl, batch_sh),
                    out_shardings=batch_sh)
@@ -187,7 +198,12 @@ def load_serving_bundle(path: str) -> Callable:
 # this closes the trained-run -> deployable-artifact -> predictions loop.
 
 
-def _export_cmd(args) -> None:
+def load_trained_agent(run_dir: str):
+    """Rebuild the agent from a run dir's dumped config + last.ckpt.
+
+    Returns (agent, input_shape) where input_shape is the per-sample model
+    input WITHOUT the batch dim. Shared by the export CLI and the serving
+    daemon's live --run_dir mode."""
     import glob
     import os
 
@@ -195,23 +211,28 @@ def _export_cmd(args) -> None:
 
     from protoasnet_tpu.train.agents import build_agent
 
-    cfgs = sorted(glob.glob(os.path.join(args.run_dir, "config_*.yml")))
-    assert cfgs, f"no dumped config under {args.run_dir}"
+    cfgs = sorted(glob.glob(os.path.join(run_dir, "config_*.yml")))
+    assert cfgs, f"no dumped config under {run_dir}"
     with open(cfgs[0]) as f:
         config = yaml.safe_load(f)
-    config["save_dir"] = args.run_dir  # auto-resume loads last.ckpt
+    config["save_dir"] = run_dir  # auto-resume loads last.ckpt
     config["train"]["save"] = False
     agent = build_agent(config)
     # current_epoch is the reference's resume convention (the index of the
     # last epoch run, 0 after a 1-epoch train); iteration counts micro-steps
     # and is > 0 for ANY trained checkpoint.
     assert agent.current_iteration > 0 or agent.current_epoch > 0, \
-        f"no trained checkpoint loaded from {args.run_dir}"
+        f"no trained checkpoint loaded from {run_dir}"
 
     data = config.get("data", {})
     s = int(data.get("img_size", 112))
     frames = int(data.get("frames", 32))
     input_shape = (frames, s, s, 3) if frames > 1 else (s, s, 3)
+    return agent, input_shape
+
+
+def _export_cmd(args) -> None:
+    agent, input_shape = load_trained_agent(args.run_dir)
 
     qstate = None
     if args.int8:

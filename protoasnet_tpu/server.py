@@ -24,7 +24,9 @@ TPU-shaped design decisions:
 
 Usage:
     python -m protoasnet_tpu.server --bundle model.bundle --port 8300
-    # POST /v1/predict   body = .npy bytes (b, [T,] H, W, 3) -> .npy logits
+    python -m protoasnet_tpu.server --run_dir <trained run>  \
+        [--uint8_input] [--int8]      # live, data-parallel over the mesh
+    # POST /v1/predict   body = .npy bytes (b, [T,] H, W[, 3]) -> .npy logits
     # GET  /healthz      liveness
     # GET  /v1/stats     batching/latency counters (JSON)
 """
@@ -40,7 +42,8 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["DynamicBatcher", "BatcherStats", "make_handler", "serve_forever"]
+__all__ = ["DynamicBatcher", "BatcherStats", "make_handler", "serve_forever",
+           "serve_live"]
 
 
 def _bucket_ladder(max_batch: int) -> Tuple[int, ...]:
@@ -329,19 +332,14 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
     return Handler
 
 
-def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
-                  max_batch: int = 128, max_delay_ms: float = 5.0,
-                  warmup: bool = True, ready_event=None):
-    """Load a bundle and serve it until interrupted."""
+def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
+                max_delay_ms, warmup, ready_event, buckets=None,
+                banner=""):
     from http.server import ThreadingHTTPServer
 
-    from protoasnet_tpu.serve import bundle_input_spec, load_serving_bundle
-
-    fn = load_serving_bundle(bundle_path)
-    shape, dtype = bundle_input_spec(bundle_path)
-    sample_shape = shape[1:]  # drop the (symbolic) batch dim
     batcher = DynamicBatcher(fn, max_batch=max_batch,
-                             max_delay_ms=max_delay_ms, dtype=dtype)
+                             max_delay_ms=max_delay_ms, dtype=dtype,
+                             buckets=buckets)
     if warmup:
         t0 = time.monotonic()
         batcher.warmup(sample_shape)
@@ -351,8 +349,9 @@ def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
         (host, port), make_handler(batcher, sample_ndim=len(sample_shape)))
     if ready_event is not None:
         ready_event.set()
-    print(f"serving {bundle_path} on {host}:{httpd.server_address[1]} "
-          f"(max_batch={max_batch}, window={max_delay_ms}ms)")
+    print(f"serving {banner} on {host}:{httpd.server_address[1]} "
+          f"(max_batch={max_batch}, window={max_delay_ms}ms, "
+          f"input dtype {np.dtype(dtype).name})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -362,20 +361,107 @@ def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
         batcher.close()
 
 
+def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
+                  max_batch: int = 128, max_delay_ms: float = 5.0,
+                  warmup: bool = True, ready_event=None):
+    """Serve an exported bundle (single device) until interrupted."""
+    from protoasnet_tpu.serve import bundle_input_spec, load_serving_bundle
+
+    fn = load_serving_bundle(bundle_path)
+    shape, dtype = bundle_input_spec(bundle_path)
+    _serve_loop(fn, shape[1:], dtype, host, port, max_batch, max_delay_ms,
+                warmup, ready_event, banner=bundle_path)
+
+
+def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
+               max_batch: int = 128, max_delay_ms: float = 5.0,
+               warmup: bool = True, ready_event=None,
+               uint8_input: bool = False, int8: bool = False,
+               calib_batches: int = 4):
+    """Serve a trained run live, data-parallel over ALL local devices.
+
+    Rebuilds the model from the run dir and serves it through
+    ``serve.make_sharded_serving_fn``: params replicated, batch sharded
+    over the mesh's 'data' axis — zero collectives, throughput additive
+    across ICI-connected chips (each chip's shard should sit near its
+    128-clip sweet spot, so size --max_batch ~ 128 * n_devices). Bucket
+    ladder is in multiples of the mesh size so every shard stays equal.
+    """
+    from protoasnet_tpu.parallel import make_mesh
+    from protoasnet_tpu.serve import load_trained_agent, make_sharded_serving_fn
+
+    agent, input_shape = load_trained_agent(run_dir)
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    max_batch = max(n_dev, (max_batch // n_dev) * n_dev)
+    buckets = []
+    b = n_dev
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_batch)
+
+    qstate = None
+    if int8:
+        from protoasnet_tpu.quant import build_qstate, calibrate_act_scales
+
+        variables = {"params": agent.params, "batch_stats": agent.batch_stats}
+        calib = []
+        for batch in agent.data_loaders["train"]:
+            calib.append(batch["cine"])
+            if len(calib) >= calib_batches:
+                break
+        scales = calibrate_act_scales(agent.model, variables, calib)
+        qstate = build_qstate(variables, scales)
+        print(f"calibrated {len(scales)} convs for w8a8")
+
+    sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
+                                      uint8_gray=uint8_input)
+    base = {"params": agent.params, "batch_stats": agent.batch_stats}
+    variables = {"variables": base, "qstate": qstate} if qstate is not None \
+        else base
+
+    def fn(x):
+        return np.asarray(sharded(variables, x), np.float32)
+
+    sample_shape = input_shape[:-1] if uint8_input else input_shape
+    dtype = np.uint8 if uint8_input else np.float32
+    _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
+                max_delay_ms, warmup, ready_event, buckets=tuple(buckets),
+                banner=f"{run_dir} live on {n_dev} device(s)")
+
+
 def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(prog="python -m protoasnet_tpu.server")
-    ap.add_argument("--bundle", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bundle", help="exported bundle (single device)")
+    src.add_argument("--run_dir",
+                     help="trained run dir: serve live, data-parallel "
+                          "over all local devices")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8300)
     ap.add_argument("--max_batch", type=int, default=128,
-                    help="serving sweet spot: 128 on v5e (BASELINE.md)")
+                    help="serving sweet spot: 128 per chip on v5e "
+                         "(BASELINE.md); scale by device count for "
+                         "--run_dir mode")
     ap.add_argument("--max_delay_ms", type=float, default=5.0)
     ap.add_argument("--no_warmup", action="store_true")
+    ap.add_argument("--uint8_input", action="store_true",
+                    help="(--run_dir only) raw grayscale uint8 frames in, "
+                         "eval transform on device")
+    ap.add_argument("--int8", action="store_true",
+                    help="(--run_dir only) w8a8 backbone")
+    ap.add_argument("--calib_batches", type=int, default=4)
     a = ap.parse_args(argv)
-    serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
-                  warmup=not a.no_warmup)
+    if a.bundle:
+        serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
+                      warmup=not a.no_warmup)
+    else:
+        serve_live(a.run_dir, a.host, a.port, a.max_batch, a.max_delay_ms,
+                   warmup=not a.no_warmup, uint8_input=a.uint8_input,
+                   int8=a.int8, calib_batches=a.calib_batches)
 
 
 if __name__ == "__main__":

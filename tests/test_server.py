@@ -318,3 +318,36 @@ def test_uint8_dtype_batcher_pads_and_serves():
         assert seen_dtypes == [np.dtype(np.uint8)]
     finally:
         b.close()
+
+
+def test_mesh_sharded_daemon_parity(small_model, fwd):
+    """Live multi-device mode: the batcher feeding make_sharded_serving_fn
+    over the 8-device mesh (uint8 in, transform on device, n_dev-multiple
+    buckets) returns the same logits as the single-device float path."""
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.data.transforms import normalize
+    from protoasnet_tpu.parallel import make_mesh
+    from protoasnet_tpu.serve import make_sharded_serving_fn
+
+    model, params, stats = small_model
+    variables = {"params": params, "batch_stats": stats}
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    assert n_dev == 8
+    sharded = make_sharded_serving_fn(model, mesh, uint8_gray=True)
+
+    b = DynamicBatcher(
+        lambda x: np.asarray(sharded(variables, x), np.float32),
+        max_batch=16, max_delay_ms=1.0, buckets=(8, 16), dtype=np.uint8)
+    try:
+        rng = np.random.default_rng(11)
+        xu8 = rng.integers(0, 256, size=(5, 32, 32), dtype=np.uint8)
+        got = b.submit(xu8, timeout=120)  # 5 -> padded to the 8-bucket
+        xf = normalize(jnp.asarray(xu8, jnp.float32) / 255.0)
+        xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+        want = np.asarray(fwd(variables, xf))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        assert b.stats.snapshot()["bucket_counts"] == {"8": 1}
+    finally:
+        b.close()
