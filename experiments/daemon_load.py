@@ -43,11 +43,11 @@ def _post(url: str, arr: np.ndarray) -> np.ndarray:
 
 def run_load(fn, sample_shape, sample_ndim, clients: int, seconds: float,
              req_batch: int, max_batch: int, max_delay_ms: float,
-             label: str):
+             label: str, dtype=np.float32):
     from protoasnet_tpu.server import DynamicBatcher, make_handler
 
     batcher = DynamicBatcher(fn, max_batch=max_batch,
-                             max_delay_ms=max_delay_ms)
+                             max_delay_ms=max_delay_ms, dtype=dtype)
     t0 = time.monotonic()
     batcher.warmup(sample_shape)
     warm_s = time.monotonic() - t0
@@ -59,7 +59,11 @@ def run_load(fn, sample_shape, sample_ndim, clients: int, seconds: float,
     stop = threading.Event()
     counts = [0] * clients
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(req_batch, *sample_shape)).astype(np.float32)
+    if np.dtype(dtype) == np.uint8:
+        x = rng.integers(0, 256, size=(req_batch, *sample_shape),
+                         dtype=np.uint8)
+    else:
+        x = rng.normal(size=(req_batch, *sample_shape)).astype(np.float32)
 
     def client(i):
         while not stop.is_set():
@@ -104,6 +108,8 @@ def main():
     ap.add_argument("--req_batch", type=int, default=4)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_delay_ms", type=float, default=5.0)
+    ap.add_argument("--uint8", action="store_true",
+                    help="uint8-gray wire format (the --uint8_input path)")
     ap.add_argument("--img_size", type=int, default=112)
     ap.add_argument("--frames", type=int, default=32)
     a = ap.parse_args()
@@ -121,6 +127,7 @@ def main():
                  a.max_delay_ms, "null-fn (daemon overhead only)")
         return
 
+    import jax
     import jax.numpy as jnp
 
     from protoasnet_tpu.models.builder import build_model, init_model
@@ -130,22 +137,40 @@ def main():
            "prototype_shape": (40, 256, 1, 1, 1), "num_classes": 4,
            "img_size": a.img_size, "dtype": "bfloat16"}
     model = build_model(cfg)
-    sample_shape = (a.frames, a.img_size, a.img_size, 3)
-    params, stats = init_model(model, jnp.zeros((1, *sample_shape)), seed=0)
+    model_in = (a.frames, a.img_size, a.img_size, 3)
+    params, stats = init_model(model, jnp.zeros((1, *model_in)), seed=0)
     variables = {"params": params, "batch_stats": stats}
 
-    import jax
+    if a.uint8:
+        # the --uint8_input serving path: raw gray uint8 over the wire,
+        # /255 + normalize + gray->3ch ON DEVICE — 12x fewer H2D bytes
+        from protoasnet_tpu.data.transforms import normalize
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+        def forward(v, x):
+            xf = normalize(x.astype(jnp.float32) * (1.0 / 255.0))
+            xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+            return model.apply(v, xf, train=False)[0]
+
+        sample_shape = model_in[:-1]
+        label = "uint8-gray wire"
+    else:
+        def forward(v, x):
+            return model.apply(v, x, train=False)[0]
+
+        sample_shape = model_in
+        label = "float32 wire"
+
+    fwd = jax.jit(forward)
 
     def fn(x):
         # numpy straight into the jit call: the relay stages jit args at
         # ~55 MB/s vs ~0.2 MB/s for an explicit device_put (CLAUDE.md)
         return np.asarray(fwd(variables, x), np.float32)
 
-    run_load(fn, sample_shape, 4, a.clients, a.seconds, a.req_batch,
-             a.max_batch, a.max_delay_ms,
-             f"flagship video on {jax.devices()[0].platform}")
+    run_load(fn, sample_shape, len(sample_shape), a.clients, a.seconds,
+             a.req_batch, a.max_batch, a.max_delay_ms,
+             f"flagship video, {label}, on {jax.devices()[0].platform}",
+             dtype=np.uint8 if a.uint8 else np.float32)
 
 
 if __name__ == "__main__":

@@ -423,6 +423,13 @@ def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,
             bsize = int(config.get("push_batch_size") or max(bsize, 32))
         if config["frames"] == 1:
             bsize = config.get("eval_batch_size", 150)
+        elif mode != "push" and config.get("eval_batch_size"):
+            # video eval is forward-only (BN uses running stats, so logits
+            # are batch-size invariant) — let it ride a serving-sized batch
+            # instead of the fwd+bwd-memory-sized train batch. Opt-in: the
+            # reference evaluates at the train batch size (as_dataloader
+            # mode handling), so the default stays parity.
+            bsize = int(config["eval_batch_size"])
 
     manifest = Manifest.from_csv(
         config["data_info_file"],

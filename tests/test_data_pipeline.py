@@ -76,6 +76,23 @@ def test_eval_deterministic(synthetic_csv):
     assert np.allclose(np.asarray(b1["cine"]), np.asarray(b2["cine"]))
 
 
+def test_video_eval_batch_override(synthetic_csv):
+    """eval_batch_size applies to video val/test loaders (forward-only:
+    serving-sized batches), never to train or push."""
+    cfg = _data_config(synthetic_csv, batch=2)
+    cfg["eval_batch_size"] = 6
+    val = get_as_dataloader(cfg, split="val", mode="val", seed=0)
+    assert val.batch_size == 6
+    train = get_as_dataloader(cfg, split="train", mode="train", seed=0)
+    assert train.batch_size == 2
+    push = get_as_dataloader(cfg, split="train", mode="push", seed=0)
+    assert push.batch_size == 32  # push keeps its own sizing
+    # epoch coverage unchanged: every interval still seen exactly once
+    m = Manifest.from_csv(synthetic_csv, view="all", split="val")
+    seen = sum(int(b["valid"].sum()) for b in val)
+    assert seen == len(m.intervals)
+
+
 def test_image_mode_squeezes_time(synthetic_csv):
     cfg = _data_config(synthetic_csv, frames=1)
     cfg["interval_unit"] = "image"
