@@ -121,4 +121,13 @@ def test_two_process_train_step_matches_single_process():
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
 
     ref = _single_process_loss()
-    np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
+    # step-1 loss (before any update): same global batch, so any wiring bug
+    # (wrong shard assembly, double-counting) would show here — keep tight.
+    np.testing.assert_allclose(losses[0][0], ref[0], rtol=2e-5)
+    # step-2 loss (after one Adam update): the cross-process collective
+    # (gloo) and the in-program 8-device psum reduce in different orders,
+    # and Adam's first step is g/sqrt(g^2*(1-b2)) — near-sign(g) — which
+    # amplifies that last-ulp grad noise; observed up to ~1.2e-4 relative
+    # on some hosts (codegen-dependent). Anything structural would be
+    # orders of magnitude larger.
+    np.testing.assert_allclose(losses[0][1], ref[1], rtol=1e-3)
