@@ -27,8 +27,9 @@ import numpy as np
 from jax import export as jexport
 
 __all__ = ["export_inference", "load_exported", "save_serving_bundle",
-           "load_serving_bundle", "bundle_input_spec",
-           "make_sharded_serving_fn", "load_trained_agent"]
+           "load_serving_bundle", "load_serving_bundle_with_spec",
+           "bundle_input_spec", "make_sharded_serving_fn",
+           "load_trained_agent"]
 
 
 def make_sharded_serving_fn(model, mesh, qstate=None,
@@ -179,13 +180,24 @@ def bundle_input_spec(path: str) -> Tuple[Tuple, Any]:
 
 def load_serving_bundle(path: str) -> Callable:
     """Load a bundle; returns fn(x) -> logits with weights bound."""
+    return load_serving_bundle_with_spec(path)[0]
+
+
+def load_serving_bundle_with_spec(path: str) -> Tuple[Callable, Tuple, Any]:
+    """Load a bundle once; returns (fn, input_shape, input_dtype).
+
+    One StableHLO deserialize serves both the callable and the input spec
+    (serve_forever previously paid the multi-second deserialize twice)."""
     with zipfile.ZipFile(path) as z:
-        fn = load_exported(z.read("model.stablehlo"))
+        exported = jexport.deserialize(z.read("model.stablehlo"))
         npz = np.load(io.BytesIO(z.read("weights.npz")))
         leaves = [npz[f"w{i}"] for i in range(len(npz.files))]
         treedef = pickle.loads(z.read("treedef.pickle"))
     variables = jax.tree_util.tree_unflatten(treedef, leaves)
-    return lambda x: fn(variables, x)
+    fn = exported.call
+    aval = exported.in_avals[-1]
+    shape = tuple(d if isinstance(d, int) else None for d in aval.shape)
+    return (lambda x: fn(variables, x)), shape, aval.dtype
 
 
 # --- deployment CLI -------------------------------------------------------

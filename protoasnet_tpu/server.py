@@ -67,6 +67,7 @@ class BatcherStats:
         self.batches = 0
         self.padded_samples = 0  # wasted slots from bucket padding
         self.errors = 0
+        self.abandoned = 0  # timed-out requests dropped before compute
         self.bucket_counts: dict = {}
         self._lat_ms: List[float] = []  # ring buffer of request latencies
 
@@ -88,6 +89,10 @@ class BatcherStats:
         with self._lock:
             self.errors += 1
 
+    def record_abandoned(self):
+        with self._lock:
+            self.abandoned += 1
+
     def snapshot(self) -> dict:
         with self._lock:
             lat = sorted(self._lat_ms)
@@ -102,6 +107,7 @@ class BatcherStats:
                 "padding_frac": (self.padded_samples /
                                  max(1, self.samples + self.padded_samples)),
                 "errors": self.errors,
+                "abandoned": self.abandoned,
                 "bucket_counts": {str(k): v
                                   for k, v in sorted(self.bucket_counts.items())},
                 "latency_ms_p50": pct(0.50),
@@ -111,7 +117,7 @@ class BatcherStats:
 
 
 class _Pending:
-    __slots__ = ("x", "event", "result", "error", "t_submit")
+    __slots__ = ("x", "event", "result", "error", "t_submit", "abandoned")
 
     def __init__(self, x: np.ndarray):
         self.x = x              # (n, ...) batcher dtype, n >= 1
@@ -119,6 +125,7 @@ class _Pending:
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
         self.t_submit = time.monotonic()
+        self.abandoned = False  # waiter gave up; skip compute if not started
 
 
 class DynamicBatcher:
@@ -128,15 +135,20 @@ class DynamicBatcher:
         called as ``fn(x)`` with x ``dtype`` (bucket, *sample_shape); must
         return per-sample outputs with leading dim == bucket. Called only
         from the dispatch thread.
+    sample_shape: optional per-sample shape; when set, submit() rejects
+        mismatched requests instead of letting one bad request poison the
+        whole coalesced batch.
     """
 
     def __init__(self, fn: Callable, max_batch: int = 128,
                  max_delay_ms: float = 5.0,
                  buckets: Optional[Sequence[int]] = None,
-                 dtype=np.float32):
+                 dtype=np.float32,
+                 sample_shape: Optional[Sequence[int]] = None):
         assert max_batch >= 1
         self.fn = fn
         self.dtype = np.dtype(dtype)  # uint8 for --uint8_input bundles
+        self.sample_shape = tuple(sample_shape) if sample_shape else None
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.buckets = tuple(sorted(buckets)) if buckets else \
@@ -145,47 +157,87 @@ class DynamicBatcher:
         self.stats = BatcherStats()
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._closed = False
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="batcher-dispatch")
         self._thread.start()
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, x: np.ndarray, timeout: Optional[float] = None
-               ) -> np.ndarray:
-        """Block until the batch containing ``x`` is served; returns the
-        outputs for x's rows. x: (n, *sample_shape), n <= max_batch
-        (larger requests should be split by the caller)."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
+    def _validate(self, x: np.ndarray) -> np.ndarray:
         if x.ndim < 2:
-            raise ValueError("submit expects a batched array (n, ...)")
-        if len(x) > self.max_batch:
-            raise ValueError(f"request batch {len(x)} > max_batch "
-                             f"{self.max_batch}; split the request")
-        self.stats.record_request()
-        p = _Pending(np.ascontiguousarray(x, dtype=self.dtype))
-        self._q.put(p)
-        if not p.event.wait(timeout):
+            raise ValueError("expected a batched array (n, ...)")
+        if self.sample_shape is not None and x.shape[1:] != self.sample_shape:
+            raise ValueError(f"sample shape {x.shape[1:]} != model input "
+                             f"{self.sample_shape}")
+        if not np.can_cast(x.dtype, self.dtype, casting="same_kind"):
+            # e.g. float clips posted to a uint8 daemon would silently
+            # truncate to garbage; uint8 -> float32 upcasts are fine
+            raise ValueError(f"dtype {x.dtype} not safely castable to model "
+                             f"input {self.dtype}")
+        return np.ascontiguousarray(x, dtype=self.dtype)
+
+    def _enqueue(self, x: np.ndarray) -> _Pending:
+        p = _Pending(x)
+        # lock orders the closed-check against close(): a put that won the
+        # check lands before the sentinel, so _drain_closed always sees it
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self.stats.record_request()
+            self._q.put(p)
+        return p
+
+    def _wait(self, p: _Pending, deadline: Optional[float]) -> np.ndarray:
+        remaining = None if deadline is None \
+            else max(0.0, deadline - time.monotonic())
+        if not p.event.wait(remaining):
+            p.abandoned = True  # dispatcher drops it if not yet computed
             raise TimeoutError("inference timed out")
         if p.error is not None:
             raise p.error
         return p.result
 
+    def submit(self, x: np.ndarray, timeout: Optional[float] = None
+               ) -> np.ndarray:
+        """Block until the batch containing ``x`` is served; returns the
+        outputs for x's rows. x: (n, *sample_shape), n <= max_batch
+        (use submit_many for larger requests)."""
+        if len(x) > self.max_batch:
+            raise ValueError(f"request batch {len(x)} > max_batch "
+                             f"{self.max_batch}; split the request")
+        x = self._validate(x)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        return self._wait(self._enqueue(x), deadline)
+
+    def submit_many(self, x: np.ndarray, timeout: Optional[float] = None
+                    ) -> np.ndarray:
+        """Any-size request: enqueue ALL max_batch-sized chunks up front
+        (so chunk k+1's H2D staging overlaps chunk k's compute), then wait
+        for each in order."""
+        x = self._validate(x)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        pendings = [self._enqueue(x[i:i + self.max_batch])
+                    for i in range(0, len(x), self.max_batch)]
+        return np.concatenate([self._wait(p, deadline) for p in pendings])
+
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=10)
 
     # -- dispatch thread ----------------------------------------------------
 
-    def warmup(self, sample_shape: Sequence[int],
+    def warmup(self, sample_shape: Optional[Sequence[int]] = None,
                buckets: Optional[Sequence[int]] = None) -> None:
         """Compile every bucket up front (one fn call per bucket) so no
         live request pays a compile. Runs on the caller's thread — call
         before serving traffic."""
+        shape = tuple(sample_shape) if sample_shape else self.sample_shape
+        assert shape is not None, "warmup needs a sample_shape"
         for b in (buckets or self.buckets):
-            x = np.zeros((b, *sample_shape), self.dtype)
+            x = np.zeros((b, *shape), self.dtype)
             np.asarray(self.fn(x))
 
     def _pick_bucket(self, n: int) -> int:
@@ -200,6 +252,9 @@ class DynamicBatcher:
             if first is None:
                 self._drain_closed()
                 break
+            if first.abandoned:
+                self.stats.record_abandoned()
+                continue
             group = [first]
             total = len(first.x)
             deadline = time.monotonic() + self.max_delay_s
@@ -221,8 +276,14 @@ class DynamicBatcher:
                     self._flush(group, total)
                     self._drain_closed()
                     return
-                if total + len(nxt.x) > self.max_batch:
-                    # doesn't fit: serve the current group, start fresh
+                if nxt.abandoned:
+                    self.stats.record_abandoned()
+                    continue
+                if (total + len(nxt.x) > self.max_batch
+                        or nxt.x.shape[1:] != group[0].x.shape[1:]):
+                    # doesn't fit (or, without submit-side shape validation,
+                    # a different sample shape): serve the current group,
+                    # start fresh — one request can't poison another's batch
                     self._flush(group, total)
                     group, total = [nxt], len(nxt.x)
                     deadline = time.monotonic() + self.max_delay_s
@@ -244,6 +305,15 @@ class DynamicBatcher:
                 p.event.set()
 
     def _flush(self, group: List[_Pending], total: int):
+        # drop requests whose waiter timed out while queued — computing
+        # them would spend chip time on work nobody reads (overload spiral)
+        live = [p for p in group if not p.abandoned]
+        for _ in range(len(group) - len(live)):
+            self.stats.record_abandoned()
+        group = live
+        total = sum(len(p.x) for p in group)
+        if not group:
+            return
         bucket = self._pick_bucket(total)
         x = np.zeros((bucket, *group[0].x.shape[1:]), self.dtype)
         ofs = 0
@@ -273,11 +343,15 @@ class DynamicBatcher:
 
 
 def make_handler(batcher: DynamicBatcher, sample_ndim: int,
-                 timeout_s: float = 60.0):
+                 timeout_s: float = 60.0,
+                 max_body_bytes: int = 256 << 20):
     """BaseHTTPRequestHandler subclass bound to ``batcher``.
 
     sample_ndim: rank WITHOUT batch (4 for video (T,H,W,3), 3 for image).
-    Accepts request bodies with or without the batch dim."""
+    Accepts request bodies with or without the batch dim.
+    max_body_bytes: reject larger payloads with 413 before reading them
+    (the daemon binds 0.0.0.0 by default — an unbounded Content-Length
+    would let any client OOM the serving host)."""
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -309,6 +383,10 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._send(413, f"body {n} bytes > limit "
+                               f"{max_body_bytes}".encode(), "text/plain")
+                    return
                 x = np.load(io.BytesIO(self.rfile.read(n)),
                             allow_pickle=False)
                 if x.ndim == sample_ndim:
@@ -317,16 +395,19 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                     raise ValueError(
                         f"expected rank {sample_ndim} or {sample_ndim + 1}, "
                         f"got {x.ndim}")
-                outs = []
-                for i in range(0, len(x), batcher.max_batch):
-                    outs.append(batcher.submit(
-                        x[i:i + batcher.max_batch].astype(batcher.dtype),
-                        timeout=timeout_s))
+                out = batcher.submit_many(x, timeout=timeout_s)
                 buf = io.BytesIO()
-                np.save(buf, np.concatenate(outs))
+                np.save(buf, out)
                 self._send(200, buf.getvalue())
-            except Exception as e:  # noqa: BLE001 — surface to the client
-                self._send(400, f"{type(e).__name__}: {e}".encode(),
+            except TimeoutError as e:
+                # server overload/stall, not the client's fault: retryable
+                self._send(504, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")
+            except ValueError as e:  # bad payload (np.load, rank, shape,
+                self._send(400, f"{type(e).__name__}: {e}".encode(),  # dtype)
+                           "text/plain")
+            except Exception as e:  # noqa: BLE001 — model/server fault
+                self._send(503, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
     return Handler
@@ -339,14 +420,18 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
 
     batcher = DynamicBatcher(fn, max_batch=max_batch,
                              max_delay_ms=max_delay_ms, dtype=dtype,
-                             buckets=buckets)
+                             buckets=buckets, sample_shape=sample_shape)
     if warmup:
         t0 = time.monotonic()
-        batcher.warmup(sample_shape)
+        batcher.warmup()
         print(f"warmed {len(batcher.buckets)} buckets "
               f"{batcher.buckets} in {time.monotonic() - t0:.1f}s")
+    sample_bytes = int(np.prod(sample_shape)) * np.dtype(dtype).itemsize
     httpd = ThreadingHTTPServer(
-        (host, port), make_handler(batcher, sample_ndim=len(sample_shape)))
+        (host, port),
+        make_handler(batcher, sample_ndim=len(sample_shape),
+                     # npy header is tiny; allow 16 full batches per request
+                     max_body_bytes=16 * max_batch * sample_bytes + (1 << 20)))
     if ready_event is not None:
         ready_event.set()
     print(f"serving {banner} on {host}:{httpd.server_address[1]} "
@@ -365,10 +450,9 @@ def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
                   max_batch: int = 128, max_delay_ms: float = 5.0,
                   warmup: bool = True, ready_event=None):
     """Serve an exported bundle (single device) until interrupted."""
-    from protoasnet_tpu.serve import bundle_input_spec, load_serving_bundle
+    from protoasnet_tpu.serve import load_serving_bundle_with_spec
 
-    fn = load_serving_bundle(bundle_path)
-    shape, dtype = bundle_input_spec(bundle_path)
+    fn, shape, dtype = load_serving_bundle_with_spec(bundle_path)
     _serve_loop(fn, shape[1:], dtype, host, port, max_batch, max_delay_ms,
                 warmup, ready_event, banner=bundle_path)
 
@@ -394,12 +478,7 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
     max_batch = max(n_dev, (max_batch // n_dev) * n_dev)
-    buckets = []
-    b = n_dev
-    while b < max_batch:
-        buckets.append(b)
-        b *= 2
-    buckets.append(max_batch)
+    buckets = tuple(n_dev * b for b in _bucket_ladder(max_batch // n_dev))
 
     qstate = None
     if int8:
@@ -427,7 +506,7 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
     sample_shape = input_shape[:-1] if uint8_input else input_shape
     dtype = np.uint8 if uint8_input else np.float32
     _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
-                max_delay_ms, warmup, ready_event, buckets=tuple(buckets),
+                max_delay_ms, warmup, ready_event, buckets=buckets,
                 banner=f"{run_dir} live on {n_dev} device(s)")
 
 

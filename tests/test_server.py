@@ -351,3 +351,111 @@ def test_mesh_sharded_daemon_parity(small_model, fwd):
         assert b.stats.snapshot()["bucket_counts"] == {"8": 1}
     finally:
         b.close()
+
+
+def test_shape_mismatch_cannot_poison_other_requests():
+    """With sample_shape set, a wrong-shape request is rejected at submit;
+    without it, mismatched shapes land in separate flushes — either way a
+    valid concurrent request still succeeds."""
+    b = DynamicBatcher(_identity_sum, max_batch=8, max_delay_ms=200.0,
+                       sample_shape=(4, 4))
+    try:
+        with pytest.raises(ValueError, match="sample shape"):
+            b.submit(np.ones((1, 3, 3), np.float32))
+        out = b.submit(np.ones((1, 4, 4), np.float32), timeout=30)
+        np.testing.assert_allclose(out, [16.0])
+    finally:
+        b.close()
+
+    # no sample_shape declared: the dispatcher groups by shape instead
+    seen = []
+
+    def fn(x):
+        seen.append(x.shape)
+        return _identity_sum(x)
+
+    b2 = DynamicBatcher(fn, max_batch=8, max_delay_ms=300.0)
+    outs, errs = {}, []
+
+    def worker(i, shape):
+        try:
+            outs[i] = b2.submit(np.ones((1, *shape), np.float32), timeout=30)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    try:
+        ts = [threading.Thread(target=worker, args=(0, (4, 4))),
+              threading.Thread(target=worker, args=(1, (3, 3)))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs  # both served, in separate shape groups
+        assert len(seen) == 2 and {s[1:] for s in seen} == {(4, 4), (3, 3)}
+    finally:
+        b2.close()
+
+
+def test_float_payload_to_uint8_daemon_rejected():
+    """Silent float->uint8 truncation would return confident garbage;
+    the batcher must reject the cast instead."""
+    b = DynamicBatcher(lambda x: x.astype(np.float32).sum(axis=(1, 2)),
+                       max_batch=4, max_delay_ms=1.0, dtype=np.uint8)
+    try:
+        with pytest.raises(ValueError, match="castable"):
+            b.submit(np.ones((1, 2, 2), np.float32) / 255.0)
+        # uint8 -> float32 upcast IS allowed on a float daemon
+        bf = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+        out = bf.submit(np.ones((1, 2, 2), np.uint8), timeout=10)
+        np.testing.assert_allclose(out, [4.0])
+        bf.close()
+    finally:
+        b.close()
+
+
+def test_timed_out_request_is_not_computed():
+    """A request whose waiter timed out while queued is dropped by the
+    dispatcher instead of burning fn time (overload spiral guard)."""
+    release = threading.Event()
+    computed = []
+
+    def slow_fn(x):
+        release.wait(30)
+        computed.append(int(x.shape[0]))
+        return _identity_sum(x)
+
+    b = DynamicBatcher(slow_fn, max_batch=1, max_delay_ms=0.0)
+    try:
+        t1 = threading.Thread(
+            target=lambda: b.submit(np.ones((1, 2, 2), np.float32),
+                                    timeout=30))
+        t1.start()
+        time.sleep(0.2)  # dispatcher is now blocked inside slow_fn
+        with pytest.raises(TimeoutError):
+            b.submit(np.zeros((1, 2, 2), np.float32), timeout=0.3)
+        release.set()
+        t1.join(timeout=30)
+        time.sleep(0.5)  # let the dispatcher drain the abandoned pending
+        assert sum(computed) == 1  # the abandoned request never ran
+        assert b.stats.snapshot()["abandoned"] == 1
+    finally:
+        b.close()
+
+
+def test_http_status_codes(http_server):
+    url, _ = http_server
+    # oversized Content-Length -> 413 before the body is read
+    req = urllib.request.Request(url + "/v1/predict",
+                                 data=b"x" * 10, method="POST")
+    req.add_header("Content-Length", str(1 << 40))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 413
+    # wrong dtype -> 400 (client fault), not 200-with-garbage
+    buf = io.BytesIO()
+    np.save(buf, np.ones((1, 4, 4), np.complex64))
+    req = urllib.request.Request(url + "/v1/predict", data=buf.getvalue(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
