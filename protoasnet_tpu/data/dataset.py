@@ -380,10 +380,12 @@ class ClipLoader:
                     hb = next(gen)
                 except StopIteration:
                     break
-                except BaseException as e:  # noqa: BLE001
+                except Exception as e:
                     # gather failures surface HERE in the consumer loop
                     # (torch DataLoader worker-error semantics), never as
-                    # a silently short epoch
+                    # a silently short epoch; KeyboardInterrupt/SystemExit
+                    # propagate unwrapped so a Ctrl-C is not misreported
+                    # as a data bug (or swallowed by retry logic upstream)
                     raise RuntimeError(
                         "dataloader worker failed (epoch aborted)"
                     ) from e

@@ -38,6 +38,7 @@ from jax import lax
 __all__ = [
     "path_key",
     "calibrate_act_scales",
+    "calibrate_qstate_from_agent",
     "build_qstate",
     "apply_quantized",
     "default_backbone_filter",
@@ -134,6 +135,28 @@ def calibrate_act_scales(model, variables, batches: Sequence[Any],
         _walk(jax.device_get(one_batch(variables, x)), ())
 
     return {p: jnp.maximum(a, 1e-8) / 127.0 for p, a in absmax.items()}
+
+
+def calibrate_qstate_from_agent(agent, calib_batches: int = 4,
+                                **calib_kwargs):
+    """Calibrate + build a w8a8 qstate from a trained agent's train loader.
+
+    The shared serve/export recipe: both ``serve.py export --int8`` and
+    ``server.py serve_live --int8`` call this, so the calibration data
+    source (train-loader batches, ``calib_batches`` of them) can't drift
+    between the two CLIs.
+    """
+    variables = {"params": agent.params, "batch_stats": agent.batch_stats}
+    calib = []
+    for batch in agent.data_loaders["train"]:
+        calib.append(batch["cine"])
+        if len(calib) >= calib_batches:
+            break
+    scales = calibrate_act_scales(agent.model, variables, calib,
+                                  **calib_kwargs)
+    qstate = build_qstate(variables, scales)
+    print(f"calibrated {len(scales)} convs for w8a8")
+    return qstate
 
 
 def _params_at(params, key: str):

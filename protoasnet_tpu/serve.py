@@ -248,18 +248,9 @@ def _export_cmd(args) -> None:
 
     qstate = None
     if args.int8:
-        from protoasnet_tpu.quant import build_qstate, calibrate_act_scales
+        from protoasnet_tpu.quant import calibrate_qstate_from_agent
 
-        variables = {"params": agent.params,
-                     "batch_stats": agent.batch_stats}
-        calib = []
-        for batch in agent.data_loaders["train"]:
-            calib.append(batch["cine"])
-            if len(calib) >= args.calib_batches:
-                break
-        scales = calibrate_act_scales(agent.model, variables, calib)
-        qstate = build_qstate(variables, scales)
-        print(f"calibrated {len(scales)} convs for w8a8")
+        qstate = calibrate_qstate_from_agent(agent, args.calib_batches)
 
     save_serving_bundle(args.out, agent.model, agent.params,
                         agent.batch_stats, input_shape, qstate=qstate,
@@ -278,6 +269,15 @@ def _predict_cmd(args) -> None:
     _, want_dtype = bundle_input_spec(args.bundle)
     x = np.load(args.input)
     if x.dtype != want_dtype:
+        # same-kind casts only (uint8 -> float32 upcast is fine); float
+        # clips fed to a --uint8_input bundle would silently truncate
+        # [0,1] floats to 0 — reject, exactly like the daemon's _validate
+        if not np.can_cast(x.dtype, want_dtype, casting="same_kind"):
+            raise SystemExit(
+                f"input dtype {x.dtype} not safely castable to the "
+                f"bundle's input dtype {np.dtype(want_dtype).name} "
+                f"(uint8 bundles take raw gray frames, not normalized "
+                f"float clips)")
         x = x.astype(want_dtype)
     out = []
     for i in range(0, len(x), args.batch):

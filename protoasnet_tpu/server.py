@@ -157,6 +157,10 @@ class DynamicBatcher:
         self.stats = BatcherStats()
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._closed = False
+        self._fatal: Optional[BaseException] = None
+        # dispatch-thread-only: the group currently being coalesced/served,
+        # so the _run guard can fail its waiters if the thread dies
+        self._current_group: List[_Pending] = []
         self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="batcher-dispatch")
@@ -219,7 +223,17 @@ class DynamicBatcher:
         deadline = None if timeout is None else time.monotonic() + timeout
         pendings = [self._enqueue(x[i:i + self.max_batch])
                     for i in range(0, len(x), self.max_batch)]
-        return np.concatenate([self._wait(p, deadline) for p in pendings])
+        try:
+            return np.concatenate([self._wait(p, deadline) for p in pendings])
+        except BaseException:
+            # one chunk failed/timed out: nobody will read the rest of this
+            # request, so flag the sibling chunks abandoned too — otherwise
+            # the dispatcher spends chip time on dead work while the
+            # client's retry queues behind it (overload spiral)
+            for p in pendings:
+                if not p.event.is_set():
+                    p.abandoned = True
+            raise
 
     def close(self):
         with self._close_lock:
@@ -246,7 +260,39 @@ class DynamicBatcher:
                 return b
         return self.buckets[-1]
 
+    @property
+    def healthy(self) -> bool:
+        """True while the dispatch thread is serving (or cleanly closed).
+        False means the thread died on an unexpected error — /healthz
+        reports 503 so an orchestrator restarts the daemon."""
+        return self._fatal is None
+
     def _run(self):
+        try:
+            self._run_inner()
+        except BaseException as e:  # noqa: BLE001 — never die silently
+            # _flush already contains per-group failures; anything that
+            # still escapes here would otherwise zombie the daemon. Fail
+            # every queued waiter loudly instead of hanging them, and
+            # refuse new submits (fail-fast beats accept-and-hang).
+            self._fatal = e
+            with self._close_lock:
+                self._closed = True
+            dead: List[_Pending] = list(self._current_group)
+            while True:
+                try:
+                    p = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if p is not None:
+                    dead.append(p)
+            for p in dead:
+                if not p.event.is_set():
+                    p.error = RuntimeError(f"dispatch thread died: {e!r}")
+                    p.event.set()
+            raise
+
+    def _run_inner(self):
         while True:
             first = self._q.get()
             if first is None:
@@ -256,6 +302,7 @@ class DynamicBatcher:
                 self.stats.record_abandoned()
                 continue
             group = [first]
+            self._current_group = group
             total = len(first.x)
             deadline = time.monotonic() + self.max_delay_s
             # drain until the window closes or the max bucket fills
@@ -286,11 +333,13 @@ class DynamicBatcher:
                     # start fresh — one request can't poison another's batch
                     self._flush(group, total)
                     group, total = [nxt], len(nxt.x)
+                    self._current_group = group
                     deadline = time.monotonic() + self.max_delay_s
                     continue
                 group.append(nxt)
                 total += len(nxt.x)
             self._flush(group, total)
+            self._current_group = []
 
     def _drain_closed(self):
         """After the shutdown sentinel: fail any requests still queued so
@@ -315,9 +364,12 @@ class DynamicBatcher:
         if not group:
             return
         bucket = self._pick_bucket(total)
-        x = np.zeros((bucket, *group[0].x.shape[1:]), self.dtype)
-        ofs = 0
         try:
+            # the buffer alloc is INSIDE the try: a transient MemoryError
+            # on a big bucket must fail this group's waiters, not kill the
+            # dispatch thread (which would zombie the whole daemon)
+            x = np.zeros((bucket, *group[0].x.shape[1:]), self.dtype)
+            ofs = 0
             for p in group:
                 x[ofs:ofs + len(p.x)] = p.x
                 ofs += len(p.x)
@@ -365,12 +417,19 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client too (set before _send, e.g. the 413
+                # path, where the unread body would desync keep-alive)
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, b"ok", "text/plain")
+                if batcher.healthy:
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(503, b"dispatch thread dead", "text/plain")
             elif self.path == "/v1/stats":
                 self._send(200, json.dumps(
                     batcher.stats.snapshot()).encode(), "application/json")
@@ -384,11 +443,21 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n > max_body_bytes:
+                    # the body was NOT read: close the connection, or a
+                    # keep-alive client's unread npy bytes get parsed as
+                    # the next request line (connection desync)
+                    self.close_connection = True
                     self._send(413, f"body {n} bytes > limit "
                                f"{max_body_bytes}".encode(), "text/plain")
                     return
-                x = np.load(io.BytesIO(self.rfile.read(n)),
-                            allow_pickle=False)
+                try:
+                    x = np.load(io.BytesIO(self.rfile.read(n)),
+                                allow_pickle=False)
+                except Exception as e:
+                    # np.load raises EOFError/OSError/... on truncated or
+                    # empty bodies — all client-side payload problems (400),
+                    # not retryable server faults (503)
+                    raise ValueError(f"bad .npy payload: {e}") from None
                 if x.ndim == sample_ndim:
                     x = x[None]
                 if x.ndim != sample_ndim + 1:
@@ -482,17 +551,9 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
 
     qstate = None
     if int8:
-        from protoasnet_tpu.quant import build_qstate, calibrate_act_scales
+        from protoasnet_tpu.quant import calibrate_qstate_from_agent
 
-        variables = {"params": agent.params, "batch_stats": agent.batch_stats}
-        calib = []
-        for batch in agent.data_loaders["train"]:
-            calib.append(batch["cine"])
-            if len(calib) >= calib_batches:
-                break
-        scales = calibrate_act_scales(agent.model, variables, calib)
-        qstate = build_qstate(variables, scales)
-        print(f"calibrated {len(scales)} convs for w8a8")
+        qstate = calibrate_qstate_from_agent(agent, calib_batches)
 
     sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
                                       uint8_gray=uint8_input)

@@ -181,3 +181,27 @@ def test_producer_error_propagates_to_consumer(synthetic_csv, num_workers):
     with pytest.raises(RuntimeError, match="dataloader worker failed"):
         for _ in loader:
             pass
+
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_keyboard_interrupt_not_rewrapped(synthetic_csv, num_workers):
+    """Ctrl-C during a host gather surfaces as KeyboardInterrupt, not as
+    a 'dataloader worker failed' RuntimeError — the latter misreports a
+    user abort as a data bug and is swallowed by any upstream
+    except-Exception retry logic, which would resume training."""
+    cfg = _data_config(synthetic_csv, batch=2)
+    loader = get_as_dataloader({**cfg, "num_workers": num_workers},
+                               "train", "train", seed=0)
+    calls = {"n": 0}
+    orig_gather = loader.dataset.gather
+
+    def interrupted_gather(items, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return orig_gather(items, rng)
+
+    loader.dataset.gather = interrupted_gather
+    with pytest.raises(KeyboardInterrupt):
+        for _ in loader:
+            pass

@@ -150,3 +150,29 @@ def test_uint8_gray_bundle_matches_manual_transform(tmp_path, small_model,
     xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
     want = np.asarray(fwd({"params": params, "batch_stats": stats}, xf))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_cli_rejects_float_input_for_uint8_bundle(tmp_path,
+                                                          small_model):
+    """`serve predict` must refuse an unsafe dtype cast: float clips fed
+    to a --uint8_input bundle would truncate [0,1] floats to all-zeros and
+    print confident garbage. (Daemon-side, server._validate rejects the
+    same thing with a 400.)"""
+    from protoasnet_tpu.serve import main as serve_main
+
+    model, params, stats = small_model
+    bundle = str(tmp_path / "model_u8.bundle")
+    save_serving_bundle(bundle, model, params, stats, (32, 32, 3),
+                        uint8_gray=True)
+    bad = str(tmp_path / "x.npy")
+    np.save(bad, np.random.default_rng(0).normal(
+        size=(2, 32, 32)).astype(np.float32))
+    with pytest.raises(SystemExit, match="not safely castable"):
+        serve_main(["predict", "--bundle", bundle, "--input", bad,
+                    "--batch", "2"])
+    # the intended raw uint8 input still round-trips
+    ok = str(tmp_path / "x_u8.npy")
+    np.save(ok, np.random.default_rng(1).integers(
+        0, 256, size=(2, 32, 32), dtype=np.uint8))
+    serve_main(["predict", "--bundle", bundle, "--input", ok,
+                "--batch", "2"])

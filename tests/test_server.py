@@ -459,3 +459,105 @@ def test_http_status_codes(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=10)
     assert ei.value.code == 400
+
+
+def test_chunk_timeout_abandons_sibling_chunks():
+    """submit_many timeout: the unserved sibling chunks are flagged
+    abandoned so the dispatcher never spends compute on work whose reader
+    already gave up (the overload-spiral guard, SERVING.md)."""
+    calls = []
+
+    def slow_fn(x):
+        calls.append(int(x.shape[0]))
+        time.sleep(0.25)
+        return _identity_sum(x)
+
+    b = DynamicBatcher(slow_fn, max_batch=2, max_delay_ms=1.0)
+    try:
+        x = np.ones((8, 3, 3), np.float32)  # 4 chunks, 0.25 s each
+        with pytest.raises(TimeoutError):
+            b.submit_many(x, timeout=0.3)
+        time.sleep(1.5)  # let the dispatcher drain the dead chunks
+        # chunk 1 computed (maybe chunk 2 was already in flight at the
+        # timeout); chunks after that were dropped before compute
+        assert len(calls) <= 2
+        assert b.stats.snapshot()["abandoned"] >= 2
+    finally:
+        b.close()
+
+
+def test_dispatch_thread_death_fails_waiters_and_healthz():
+    """If the dispatch thread dies on an unexpected error (anything
+    _flush's own try can't contain), waiters get a loud error instead of
+    hanging, new submits fail fast, and /healthz flips to 503 so an
+    orchestrator restarts the daemon instead of routing to a zombie."""
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+
+    def boom(group, total):
+        raise RuntimeError("boom")
+
+    b._flush = boom  # simulate a failure outside _flush's internal try
+    with pytest.raises(RuntimeError, match="dispatch thread died"):
+        b.submit(np.ones((1, 2, 2), np.float32), timeout=10)
+    assert not b.healthy
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.ones((1, 2, 2), np.float32), timeout=1)
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(b, sample_ndim=2))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url + "/healthz", timeout=10)
+        assert ei.value.code == 503
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_empty_body_is_400_not_503(http_server):
+    """np.load raises EOFError (not ValueError) on an empty body — it must
+    still map to 400 client fault, or well-behaved clients retry a
+    permanently-bad request forever against a 'server error'."""
+    url, _ = http_server
+    req = urllib.request.Request(url + "/v1/predict", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+
+
+def test_http_413_closes_connection():
+    """The 413 path never reads the request body, so the server must close
+    the keep-alive connection (and say so) — otherwise the client's unread
+    npy bytes get parsed as the next request line."""
+    import http.client
+
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(b, sample_ndim=2, max_body_bytes=1024))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", httpd.server_address[1], timeout=10)
+        conn.request("POST", "/v1/predict", body=b"x" * 4096)
+        r = conn.getresponse()
+        assert r.status == 413
+        assert r.getheader("Connection") == "close"
+        r.read()
+        conn.close()
+        # fresh connections keep working
+        buf = io.BytesIO()
+        np.save(buf, np.ones((1, 4, 4), np.float32))
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        req = urllib.request.Request(url + "/v1/predict",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        b.close()
