@@ -37,6 +37,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_device(max_wait_s: float, probe_timeout_s: float = 90.0) -> bool:
+    """Wait for the TPU to be reachable before importing jax here.
+
+    The axon relay goes down for hours at a time (CLAUDE.md), and a hung
+    jax.devices() inside THIS process is unrecoverable — so probe in a
+    subprocess with a hard timeout and only proceed once a probe answers.
+    Returns False if the device never showed up within max_wait_s."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=probe_timeout_s, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                log(f"device probe ok ({out.stdout.strip().splitlines()[-1]}) "
+                    f"on attempt {attempt}")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        log(f"device probe failed (attempt {attempt}); relay may be down — "
+            f"retrying in 60s")
+        time.sleep(60.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -69,7 +100,20 @@ def main():
                          "(default on)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument("--wait-device-min", type=float, default=30.0,
+                    help="minutes to wait for a reachable TPU before "
+                         "giving up (the relay has multi-hour outages)")
     args = ap.parse_args()
+
+    if not args.cpu and args.wait_device_min > 0:
+        if not wait_for_device(args.wait_device_min * 60.0):
+            print(json.dumps({
+                "metric": "inference_throughput", "value": None,
+                "unit": "clips/s", "vs_baseline": None,
+                "error": f"TPU unreachable for {args.wait_device_min:.0f} "
+                         f"min (relay outage); no measurement taken",
+            }), flush=True)
+            sys.exit(1)
 
     import jax
     import jax.numpy as jnp
