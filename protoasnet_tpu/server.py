@@ -484,7 +484,12 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
 
 def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
                 max_delay_ms, warmup, ready_event, buckets=None,
-                banner=""):
+                banner="", stop_event=None):
+    """ready_event (optional): set once the socket is bound; the bound
+    port is published as ``ready_event.port`` (useful with port=0).
+    stop_event (optional): setting it shuts the server down cleanly —
+    the test/embedding hook, since serve_forever() otherwise only exits
+    on KeyboardInterrupt."""
     from http.server import ThreadingHTTPServer
 
     batcher = DynamicBatcher(fn, max_batch=max_batch,
@@ -502,7 +507,12 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
                      # npy header is tiny; allow 16 full batches per request
                      max_body_bytes=16 * max_batch * sample_bytes + (1 << 20)))
     if ready_event is not None:
+        ready_event.port = httpd.server_address[1]
         ready_event.set()
+    if stop_event is not None:
+        threading.Thread(
+            target=lambda: (stop_event.wait(), httpd.shutdown()),
+            daemon=True, name="server-stop").start()
     print(f"serving {banner} on {host}:{httpd.server_address[1]} "
           f"(max_batch={max_batch}, window={max_delay_ms}ms, "
           f"input dtype {np.dtype(dtype).name})")
@@ -517,20 +527,21 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
 
 def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
                   max_batch: int = 128, max_delay_ms: float = 5.0,
-                  warmup: bool = True, ready_event=None):
+                  warmup: bool = True, ready_event=None, stop_event=None):
     """Serve an exported bundle (single device) until interrupted."""
     from protoasnet_tpu.serve import load_serving_bundle_with_spec
 
     fn, shape, dtype = load_serving_bundle_with_spec(bundle_path)
     _serve_loop(fn, shape[1:], dtype, host, port, max_batch, max_delay_ms,
-                warmup, ready_event, banner=bundle_path)
+                warmup, ready_event, banner=bundle_path,
+                stop_event=stop_event)
 
 
 def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
                max_batch: int = 128, max_delay_ms: float = 5.0,
                warmup: bool = True, ready_event=None,
                uint8_input: bool = False, int8: bool = False,
-               calib_batches: int = 4):
+               calib_batches: int = 4, stop_event=None):
     """Serve a trained run live, data-parallel over ALL local devices.
 
     Rebuilds the model from the run dir and serves it through
@@ -568,7 +579,8 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
     dtype = np.uint8 if uint8_input else np.float32
     _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
                 max_delay_ms, warmup, ready_event, buckets=buckets,
-                banner=f"{run_dir} live on {n_dev} device(s)")
+                banner=f"{run_dir} live on {n_dev} device(s)",
+                stop_event=stop_event)
 
 
 def main(argv=None):
@@ -595,13 +607,22 @@ def main(argv=None):
                     help="(--run_dir only) w8a8 backbone")
     ap.add_argument("--calib_batches", type=int, default=4)
     a = ap.parse_args(argv)
+
+    # Supervisors (systemd, k8s, docker stop) send SIGTERM, not SIGINT;
+    # route it through stop_event so in-flight batches drain cleanly.
+    import signal
+
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+
     if a.bundle:
         serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
-                      warmup=not a.no_warmup)
+                      warmup=not a.no_warmup, stop_event=stop)
     else:
         serve_live(a.run_dir, a.host, a.port, a.max_batch, a.max_delay_ms,
                    warmup=not a.no_warmup, uint8_input=a.uint8_input,
-                   int8=a.int8, calib_batches=a.calib_batches)
+                   int8=a.int8, calib_batches=a.calib_batches,
+                   stop_event=stop)
 
 
 if __name__ == "__main__":

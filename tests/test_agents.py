@@ -195,3 +195,48 @@ def test_training_is_deterministic(synthetic_csv, tmp_path):
         assert k1 == k2
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
                                       err_msg=str(k1))
+
+
+def test_serve_live_daemon_over_trained_run(trained_agent):
+    """The full deployment CLI path over a REAL trained run dir: serve_live
+    rebuilds the agent, calibrates w8a8 via quant.calibrate_qstate_from_agent,
+    serves data-parallel over the 8-device CPU mesh, and answers a
+    concurrent HTTP client with per-sample logits. Covers the --run_dir
+    --int8 plumbing that unit tests (mesh parity, batcher) don't."""
+    import io
+    import threading
+    import urllib.request
+
+    from protoasnet_tpu.server import serve_live
+    from protoasnet_tpu.utils.config import dump_config
+
+    # The CLI (main.py) dumps config_<run_type>.yml into the run dir and
+    # load_trained_agent rebuilds from it; the fixture bypasses the CLI,
+    # so recreate that one artifact here.
+    dump_config(trained_agent.config,
+                os.path.join(trained_agent.save_dir, "config_train.yml"))
+
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=serve_live,
+        kwargs=dict(run_dir=str(trained_agent.save_dir), host="127.0.0.1",
+                    port=0, max_batch=8, warmup=False, ready_event=ready,
+                    int8=True, calib_batches=1, stop_event=stop),
+        daemon=True)
+    t.start()
+    try:
+        assert ready.wait(600), "daemon never came up"
+        url = f"http://127.0.0.1:{ready.port}/v1/predict"
+        x = np.random.default_rng(0).normal(
+            size=(2, 8, 32, 32, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        assert out.shape == (2, trained_agent.model.num_classes)
+        assert np.all(np.isfinite(out))
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not t.is_alive()

@@ -561,3 +561,31 @@ def test_http_413_closes_connection():
         httpd.shutdown()
         httpd.server_close()
         b.close()
+
+
+def test_serve_loop_ready_port_and_stop_event():
+    """_serve_loop's embedding contract (SERVING.md): port=0 binds an
+    ephemeral port published as ready_event.port, and setting stop_event
+    shuts the loop down cleanly (server closed, batcher drained) without
+    signals. Null fn -> every millisecond here is daemon plumbing."""
+    from protoasnet_tpu.server import _serve_loop
+
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=_serve_loop,
+        args=(_identity_sum, (4, 4), np.float32, "127.0.0.1", 0, 8, 2.0,
+              False, ready),
+        kwargs=dict(stop_event=stop),
+        daemon=True)
+    t.start()
+    try:
+        assert ready.wait(30), "serve loop never bound its socket"
+        assert ready.port != 0
+        url = f"http://127.0.0.1:{ready.port}/v1/predict"
+        x = np.random.default_rng(1).normal(size=(3, 4, 4)).astype(np.float32)
+        out = _post_npy(url, x)
+        np.testing.assert_allclose(out, x.sum(axis=(1, 2)), rtol=1e-6)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
