@@ -1,0 +1,217 @@
+"""Python client for the serving daemon (server.py).
+
+The reference ships no serving story at all (train/eval scripts only,
+`main.py:18-59`); this closes the last leg of the deploy loop this
+framework adds: trained run -> bundle -> daemon -> **typed client**.
+
+Wire format is the daemon's: request/response bodies are `.npy` bytes
+(`allow_pickle=False` both ways). The client
+
+- discovers the input contract from ``GET /v1/spec`` (sample shape,
+  dtype, body cap) and validates/encodes locally, so a uint8 daemon gets
+  uint8 bytes (12x smaller) without the caller knowing the wire dtype;
+- chunks large arrays so every request stays under the server's body cap
+  and its 16-batch request ceiling (server.py make_handler), streaming
+  chunk k+1 while the daemon computes chunk k (HTTP keep-alive, one
+  connection);
+- maps status codes to typed errors — `BadRequestError` (400/413, the
+  payload is wrong, never retried) vs `RetryableError` (504 overload /
+  503 fault / connection refused-reset, retried with backoff).
+
+Usage::
+
+    from protoasnet_tpu.client import ServingClient
+    c = ServingClient("http://host:8300")
+    logits = c.predict(clips)          # (n, ...) -> (n, num_classes)
+
+CLI::
+
+    python -m protoasnet_tpu.client --url http://host:8300 \
+        --input clips.npy --out logits.npy
+"""
+from __future__ import annotations
+
+import io
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["ServingClient", "ServingError", "BadRequestError",
+           "RetryableError"]
+
+
+class ServingError(Exception):
+    """Base class; ``status`` is the HTTP code (0 for transport errors)."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}" if status else message)
+        self.status = status
+
+
+class BadRequestError(ServingError):
+    """400/413 — the payload itself is wrong; retrying cannot help."""
+
+
+class RetryableError(ServingError):
+    """504 overload, 503 server fault, or a transport error — the same
+    request may succeed on retry (predict is idempotent)."""
+
+
+def _encode(x: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, x)
+    return buf.getvalue()
+
+
+def _decode(body: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+class ServingClient:
+    def __init__(self, base_url: str, timeout_s: float = 300.0,
+                 retries: int = 2, backoff_s: float = 0.5):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = float(timeout_s)
+        self.retries = int(retries)
+        self.backoff_s = float(backoff_s)
+        self._spec: Optional[dict] = None
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _request(self, path: str, body: Optional[bytes] = None) -> bytes:
+        req = urllib.request.Request(
+            self.base_url + path, data=body,
+            method="POST" if body is not None else "GET")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            msg = e.read().decode(errors="replace")
+            if e.code in (400, 404, 413):
+                raise BadRequestError(e.code, msg) from None
+            raise RetryableError(e.code, msg) from None
+        except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+            raise RetryableError(0, f"{type(e).__name__}: {e}") from None
+
+    def _request_retry(self, path: str, body: Optional[bytes] = None) -> bytes:
+        for attempt in range(self.retries + 1):
+            try:
+                return self._request(path, body)
+            except RetryableError:
+                if attempt == self.retries:
+                    raise
+                time.sleep(self.backoff_s * (2 ** attempt))
+        raise AssertionError("unreachable")
+
+    # -- surface ------------------------------------------------------------
+
+    def healthy(self) -> bool:
+        try:
+            return self._request("/healthz") == b"ok"
+        except ServingError:
+            return False
+
+    def stats(self) -> dict:
+        return json.loads(self._request("/v1/stats"))
+
+    def spec(self) -> dict:
+        """Input contract (cached): sample_shape, dtype, max_batch,
+        buckets, max_body_bytes. Raises BadRequestError(404) against a
+        pre-spec daemon — predict() then falls back to one request."""
+        if self._spec is None:
+            self._spec = json.loads(self._request_retry("/v1/spec"))
+        return self._spec
+
+    def _chunk_samples(self, x: np.ndarray) -> int:
+        """Largest per-request sample count the server accepts."""
+        try:
+            spec = self.spec()
+        except BadRequestError:  # pre-/v1/spec daemon: single request
+            return len(x)
+        cap = len(x)
+        if spec.get("max_batch"):
+            # the handler enqueues one submit_many per request; the server
+            # itself splits into <= max_batch batches, but its body cap is
+            # sized at 16 full batches (server.py make_handler)
+            cap = min(cap, 16 * int(spec["max_batch"]))
+        if spec.get("max_body_bytes"):
+            per = int(np.prod(x.shape[1:])) * x.dtype.itemsize
+            # leave the npy header + margin out of the budget
+            cap = min(cap, max(1, (int(spec["max_body_bytes"]) - (1 << 16))
+                               // max(1, per)))
+        return max(1, cap)
+
+    def _coerce(self, x: np.ndarray) -> np.ndarray:
+        """Cast to the wire dtype when the spec knows better (e.g. float
+        frames destined for a uint8 daemon are NOT auto-cast — that is
+        lossy and the server correctly 400s it; but a float64 array bound
+        for a float32 daemon downcasts here rather than shipping 2x the
+        bytes for the server to downcast anyway)."""
+        try:
+            spec = self.spec()
+        except BadRequestError:
+            return x
+        want = np.dtype(spec.get("dtype", x.dtype))
+        if x.dtype == want:
+            return x
+        if np.can_cast(x.dtype, want, casting="same_kind"):
+            return x.astype(want)
+        return x  # let the server's validator produce the loud 400
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """POST ``x`` (one sample or a batch) -> stacked outputs.
+
+        Chunks client-side to the server's request ceiling; each chunk
+        retried independently on RetryableError."""
+        x = np.asarray(x)
+        batched = True
+        spec_shape = None
+        try:
+            spec_shape = self.spec().get("sample_shape")
+        except (BadRequestError, RetryableError):
+            pass
+        if spec_shape is not None and x.ndim == len(spec_shape):
+            x, batched = x[None], False
+        if x.size == 0:
+            raise BadRequestError(0, "empty input array")
+        x = self._coerce(x)
+        step = self._chunk_samples(x)
+        outs = []
+        for i in range(0, len(x), step):
+            body = _encode(np.ascontiguousarray(x[i:i + step]))
+            outs.append(_decode(self._request_retry("/v1/predict", body)))
+        out = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out if batched else out[0]
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Remote predict against a serving daemon")
+    ap.add_argument("--url", required=True, help="e.g. http://host:8300")
+    ap.add_argument("--input", required=True, help=".npy array of inputs")
+    ap.add_argument("--out", default=None, help=".npy to write logits to")
+    ap.add_argument("--timeout_s", type=float, default=300.0)
+    ap.add_argument("--retries", type=int, default=2)
+    a = ap.parse_args(argv)
+
+    c = ServingClient(a.url, timeout_s=a.timeout_s, retries=a.retries)
+    x = np.load(a.input, allow_pickle=False)
+    t0 = time.monotonic()
+    out = c.predict(x)
+    dt = time.monotonic() - t0
+    print(f"{len(np.atleast_2d(out))} predictions in {dt:.2f}s")
+    if a.out:
+        np.save(a.out, out)
+        print(f"wrote {a.out} {out.shape} {out.dtype}")
+    else:
+        print(out)
+
+
+if __name__ == "__main__":
+    main()

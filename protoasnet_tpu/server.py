@@ -433,6 +433,18 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
             elif self.path == "/v1/stats":
                 self._send(200, json.dumps(
                     batcher.stats.snapshot()).encode(), "application/json")
+            elif self.path == "/v1/spec":
+                # input contract discovery (client.ServingClient): lets a
+                # client validate/encode locally (esp. uint8 daemons) and
+                # size chunks to the body cap without a rejected probe
+                self._send(200, json.dumps({
+                    "sample_shape": list(batcher.sample_shape)
+                    if batcher.sample_shape else None,
+                    "dtype": batcher.dtype.name,
+                    "max_batch": batcher.max_batch,
+                    "buckets": list(batcher.buckets),
+                    "max_body_bytes": max_body_bytes,
+                }).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -589,3 +589,114 @@ def test_serve_loop_ready_port_and_stop_event():
         stop.set()
         t.join(timeout=30)
     assert not t.is_alive()
+
+
+# -- client library (protoasnet_tpu/client.py) ------------------------------
+
+
+@pytest.fixture()
+def live_loop():
+    """A _serve_loop daemon over _identity_sum via the embedding contract
+    (ready_event.port + stop_event), torn down cleanly per test."""
+    from protoasnet_tpu.server import _serve_loop
+
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=_serve_loop,
+        args=(_identity_sum, (4, 4), np.float32, "127.0.0.1", 0, 4, 2.0,
+              False, ready),
+        kwargs=dict(stop_event=stop),
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    yield f"http://127.0.0.1:{ready.port}"
+    stop.set()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_client_spec_health_and_chunked_predict(live_loop):
+    """ServingClient discovers the contract from /v1/spec, chunks a large
+    array to the server's 16*max_batch request ceiling, and reassembles
+    per-sample outputs in order."""
+    from protoasnet_tpu.client import ServingClient
+
+    c = ServingClient(live_loop, timeout_s=60)
+    assert c.healthy()
+    spec = c.spec()
+    assert spec["sample_shape"] == [4, 4]
+    assert spec["dtype"] == "float32"
+    assert spec["max_batch"] == 4
+    assert spec["max_body_bytes"] > 0
+
+    # 100 samples > 16*max_batch=64 -> must split into 2 HTTP requests
+    x = np.random.default_rng(0).normal(size=(100, 4, 4))  # float64 on
+    out = c.predict(x)  # purpose: client downcasts to the wire dtype
+    np.testing.assert_allclose(out, x.astype(np.float32).sum(axis=(1, 2)),
+                               rtol=1e-6)
+    assert c.stats()["requests"] >= 2
+
+
+def test_client_unbatched_sample_and_bad_request(live_loop):
+    from protoasnet_tpu.client import BadRequestError, ServingClient
+
+    c = ServingClient(live_loop, timeout_s=60)
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = c.predict(x)  # rank == sample rank -> unbatched in, unbatched out
+    assert np.ndim(out) == 0
+    np.testing.assert_allclose(out, x.sum(), rtol=1e-6)
+
+    with pytest.raises(BadRequestError):  # wrong sample shape -> server 400
+        c.predict(np.zeros((2, 5, 5), np.float32))
+    with pytest.raises(BadRequestError):  # client-side empty-input guard
+        c.predict(np.zeros((0, 4, 4), np.float32))
+
+
+def test_client_retry_then_raise():
+    """RetryableError is retried with backoff; BadRequestError is not."""
+    from protoasnet_tpu.client import (BadRequestError, RetryableError,
+                                       ServingClient)
+
+    c = ServingClient("http://127.0.0.1:1", retries=2, backoff_s=0.0)
+    calls = []
+
+    def flaky(path, body=None):
+        calls.append(path)
+        if len(calls) < 3:
+            raise RetryableError(503, "boom")
+        return b"ok"
+
+    c._request = flaky
+    assert c._request_retry("/x") == b"ok"
+    assert len(calls) == 3
+
+    calls.clear()
+
+    def dead(path, body=None):
+        calls.append(path)
+        raise RetryableError(504, "still down")
+
+    c._request = dead
+    with pytest.raises(RetryableError):
+        c._request_retry("/x")
+    assert len(calls) == 3  # initial + 2 retries, then give up
+
+    calls.clear()
+
+    def bad(path, body=None):
+        calls.append(path)
+        raise BadRequestError(400, "your fault")
+
+    c._request = bad
+    with pytest.raises(BadRequestError):
+        c._request_retry("/x")
+    assert len(calls) == 1  # never retried
+
+
+def test_client_connection_refused_is_retryable():
+    from protoasnet_tpu.client import RetryableError, ServingClient
+
+    c = ServingClient("http://127.0.0.1:1", timeout_s=2, retries=0)
+    assert not c.healthy()
+    with pytest.raises(RetryableError):
+        c.stats()
