@@ -700,3 +700,32 @@ def test_client_connection_refused_is_retryable():
     assert not c.healthy()
     with pytest.raises(RetryableError):
         c.stats()
+
+
+def test_client_uint8_daemon_contract():
+    """Against a uint8-wire daemon the client ships uint8 untouched and
+    REFUSES to coerce float frames (lossy) — the server's 400 surfaces as
+    BadRequestError instead of silently-truncated garbage."""
+    from protoasnet_tpu.client import BadRequestError, ServingClient
+    from protoasnet_tpu.server import _serve_loop
+
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=_serve_loop,
+        args=(lambda x: x.astype(np.float32).sum(axis=(1, 2)), (4, 4),
+              np.uint8, "127.0.0.1", 0, 4, 2.0, False, ready),
+        kwargs=dict(stop_event=stop),
+        daemon=True)
+    t.start()
+    try:
+        assert ready.wait(30)
+        c = ServingClient(f"http://127.0.0.1:{ready.port}", timeout_s=60)
+        assert c.spec()["dtype"] == "uint8"
+        x = np.arange(32, dtype=np.uint8).reshape(2, 4, 4)
+        np.testing.assert_allclose(
+            c.predict(x), x.astype(np.float32).sum(axis=(1, 2)))
+        with pytest.raises(BadRequestError):
+            c.predict(np.zeros((2, 4, 4), np.float32))
+    finally:
+        stop.set()
+        t.join(timeout=30)
