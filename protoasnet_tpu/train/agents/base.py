@@ -158,6 +158,7 @@ class BaseAgent:
     def save_checkpoint(self, is_best: bool = False) -> None:
         if not self.train_config.get("save", True):
             return
+        self._ensure_config_dump()
         state = self.get_state()
         save_step = self.train_config.get("save_step")
         if save_step is not None and self.current_epoch % int(save_step) == 0:
@@ -166,6 +167,27 @@ class BaseAgent:
         if is_best:
             save_checkpoint(state, os.path.join(self.save_dir, "model_best.ckpt"))
         save_checkpoint(state, os.path.join(self.save_dir, "last.ckpt"))
+
+    def _ensure_config_dump(self) -> None:
+        """Make every saved run dir self-describing: serve.py's
+        load_trained_agent (export / live daemon) rebuilds the agent from
+        {save_dir}/config_*.yml. The CLIs dump one up front (main.py,
+        reference main.py:31-38 convention); library-API runs
+        (build_agent(...).train()) would otherwise produce a run dir that
+        the deployment tools cannot consume."""
+        import glob
+
+        if glob.glob(os.path.join(self.save_dir, "config_*.yml")):
+            return
+        try:
+            from protoasnet_tpu.utils.config import dump_config
+
+            dump_config(self.config,
+                        os.path.join(self.save_dir, "config_agent.yml"))
+        except Exception as e:  # noqa: BLE001 — e.g. a caller smuggled a
+            # non-YAML-safe object into config; never fail a checkpoint
+            # save over the convenience dump
+            logging.warning(f"could not dump config to run dir: {e}")
 
     def save_model_w_condition(self, model_name: str, metric: float,
                                threshold: float) -> None:

@@ -172,6 +172,10 @@ def updated_config(
 
 
 def dump_config(cfg: Dict[str, Any], path: str) -> None:
+    # serialize BEFORE touching the file: safe_dump raises mid-stream on
+    # non-YAML-safe values, and a partial config_*.yml would later be
+    # picked up by serve.load_trained_agent as if it were the real thing
+    text = yaml.safe_dump(cfg, default_flow_style=False, sort_keys=False)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        yaml.safe_dump(cfg, f, default_flow_style=False, sort_keys=False)
+        f.write(text)

@@ -207,14 +207,14 @@ def test_serve_live_daemon_over_trained_run(trained_agent):
     import threading
     import urllib.request
 
-    from protoasnet_tpu.server import serve_live
-    from protoasnet_tpu.utils.config import dump_config
+    import glob
 
-    # The CLI (main.py) dumps config_<run_type>.yml into the run dir and
-    # load_trained_agent rebuilds from it; the fixture bypasses the CLI,
-    # so recreate that one artifact here.
-    dump_config(trained_agent.config,
-                os.path.join(trained_agent.save_dir, "config_train.yml"))
+    from protoasnet_tpu.server import serve_live
+
+    # The run dir must be self-describing even though the fixture used the
+    # library API, not the CLI: save_checkpoint dumps config_agent.yml
+    # (BaseAgent._ensure_config_dump) and serve_live rebuilds from it.
+    assert glob.glob(os.path.join(trained_agent.save_dir, "config_*.yml"))
 
     ready, stop = threading.Event(), threading.Event()
     t = threading.Thread(

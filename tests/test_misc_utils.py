@@ -172,3 +172,30 @@ def test_compose_panel_clip_matches_per_frame_path():
             [img[i], 0.5 * img[i] + 0.3 * make_heatmap(up[i])],
             "a title", labels=labels)
         np.testing.assert_array_equal(fast[i], ref, err_msg=f"frame {i}")
+
+
+def test_ensure_config_dump_self_describing_run_dir(tmp_path):
+    """Library-API run dirs become servable: save_checkpoint dumps
+    config_agent.yml once, respects an existing CLI dump, and never fails
+    a save over a non-YAML-safe config."""
+    from protoasnet_tpu.train.agents.base import BaseAgent
+
+    a = BaseAgent.__new__(BaseAgent)  # no build: method under test only
+    a.save_dir = str(tmp_path)
+    a.config = {"agent": "X", "train": {"seed": 1}}
+    a._ensure_config_dump()
+    p = tmp_path / "config_agent.yml"
+    assert p.exists()
+
+    p.write_text("sentinel: 1\n")  # existing dump (CLI or prior save)
+    a._ensure_config_dump()        # -> no-op, not overwritten
+    assert p.read_text() == "sentinel: 1\n"
+
+    b = BaseAgent.__new__(BaseAgent)
+    b.save_dir = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(b.save_dir)
+    b.config = {"bad": object()}   # not YAML-safe
+    b._ensure_config_dump()        # warns, must not raise
+    assert not os.path.exists(os.path.join(b.save_dir, "config_agent.yml"))
