@@ -31,6 +31,7 @@ CLI::
 """
 from __future__ import annotations
 
+import http.client
 import io
 import json
 import time
@@ -78,7 +79,9 @@ class ServingClient:
         self.timeout_s = float(timeout_s)
         self.retries = int(retries)
         self.backoff_s = float(backoff_s)
-        self._spec: Optional[dict] = None
+        # None = not probed yet; False = known absent/unreachable (cached
+        # by _try_spec); dict = the contract
+        self._spec = None
 
     # -- plumbing -----------------------------------------------------------
 
@@ -90,11 +93,18 @@ class ServingClient:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
                 return r.read()
         except urllib.error.HTTPError as e:
-            msg = e.read().decode(errors="replace")
+            try:
+                msg = e.read().decode(errors="replace")
+            except OSError:  # connection died mid-error-body
+                msg = "(error body unreadable)"
             if e.code in (400, 404, 413):
                 raise BadRequestError(e.code, msg) from None
             raise RetryableError(e.code, msg) from None
-        except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+        # mid-response drops raise http.client exceptions (IncompleteRead,
+        # RemoteDisconnected) that are neither URLError nor ConnectionError
+        # — all transport faults, all retryable
+        except (urllib.error.URLError, http.client.HTTPException,
+                TimeoutError, OSError) as e:
             raise RetryableError(0, f"{type(e).__name__}: {e}") from None
 
     def _request_retry(self, path: str, body: Optional[bytes] = None) -> bytes:
@@ -122,15 +132,28 @@ class ServingClient:
         """Input contract (cached): sample_shape, dtype, max_batch,
         buckets, max_body_bytes. Raises BadRequestError(404) against a
         pre-spec daemon — predict() then falls back to one request."""
-        if self._spec is None:
+        if not isinstance(self._spec, dict):  # None, or False = cached miss
             self._spec = json.loads(self._request_retry("/v1/spec"))
         return self._spec
 
+    def _try_spec(self) -> Optional[dict]:
+        """spec() for internal best-effort use: any failure (404 on a
+        pre-spec daemon, proxy 5xx, transport) is cached as known-absent
+        so predict() probes /v1/spec at most once per client, and a
+        broken spec endpoint can never fail an otherwise-healthy
+        /v1/predict."""
+        if self._spec is False:  # cached negative
+            return None
+        try:
+            return self.spec()
+        except ServingError:
+            self._spec = False
+            return None
+
     def _chunk_samples(self, x: np.ndarray) -> int:
         """Largest per-request sample count the server accepts."""
-        try:
-            spec = self.spec()
-        except BadRequestError:  # pre-/v1/spec daemon: single request
+        spec = self._try_spec()
+        if spec is None:  # pre-/v1/spec daemon: single request
             return len(x)
         cap = len(x)
         if spec.get("max_batch"):
@@ -146,21 +169,21 @@ class ServingClient:
         return max(1, cap)
 
     def _coerce(self, x: np.ndarray) -> np.ndarray:
-        """Cast to the wire dtype when the spec knows better (e.g. float
-        frames destined for a uint8 daemon are NOT auto-cast — that is
-        lossy and the server correctly 400s it; but a float64 array bound
-        for a float32 daemon downcasts here rather than shipping 2x the
-        bytes for the server to downcast anyway)."""
-        try:
-            spec = self.spec()
-        except BadRequestError:
+        """Cast to the wire dtype only when it SHRINKS the payload (a
+        float64 array bound for a float32 daemon downcasts here rather
+        than shipping 2x the bytes for the server to downcast anyway).
+        Never widens — the server's validator upcasts narrow same-kind
+        inputs for free, so e.g. float16 ships as float16. Never coerces
+        lossily (float frames to a uint8 daemon) — that 400s loudly
+        server-side instead of silently truncating."""
+        spec = self._try_spec()
+        if spec is None:
             return x
         want = np.dtype(spec.get("dtype", x.dtype))
-        if x.dtype == want:
-            return x
-        if np.can_cast(x.dtype, want, casting="same_kind"):
+        if (want.itemsize < x.dtype.itemsize
+                and np.can_cast(x.dtype, want, casting="same_kind")):
             return x.astype(want)
-        return x  # let the server's validator produce the loud 400
+        return x
 
     def predict(self, x: np.ndarray) -> np.ndarray:
         """POST ``x`` (one sample or a batch) -> stacked outputs.
@@ -169,11 +192,12 @@ class ServingClient:
         retried independently on RetryableError."""
         x = np.asarray(x)
         batched = True
-        spec_shape = None
-        try:
-            spec_shape = self.spec().get("sample_shape")
-        except (BadRequestError, RetryableError):
-            pass
+        spec = self._try_spec()
+        spec_shape = spec.get("sample_shape") if spec else None
+        # NOTE against a pre-/v1/spec daemon the sample rank is unknown,
+        # so an unbatched input comes back with the server-added batch
+        # dim (1, ...) instead of being squeezed — pass batched arrays
+        # for version-independent shapes
         if spec_shape is not None and x.ndim == len(spec_shape):
             x, batched = x[None], False
         if x.size == 0:

@@ -622,19 +622,30 @@ def main(argv=None):
 
     # Supervisors (systemd, k8s, docker stop) send SIGTERM, not SIGINT;
     # route it through stop_event so in-flight batches drain cleanly.
+    # During startup (model load / int8 calibration / warmup compiles —
+    # minutes through a relay) there is nothing to drain: exit
+    # immediately, or a supervisor's stop-timeout escalates to SIGKILL
+    # while we stubbornly finish compiling a server nobody wants.
     import signal
 
-    stop = threading.Event()
-    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    stop, ready = threading.Event(), threading.Event()
+
+    def _on_term(*_):
+        stop.set()
+        if not ready.is_set():
+            raise SystemExit(143)  # 128 + SIGTERM, the conventional code
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     if a.bundle:
         serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
-                      warmup=not a.no_warmup, stop_event=stop)
+                      warmup=not a.no_warmup, ready_event=ready,
+                      stop_event=stop)
     else:
         serve_live(a.run_dir, a.host, a.port, a.max_batch, a.max_delay_ms,
                    warmup=not a.no_warmup, uint8_input=a.uint8_input,
                    int8=a.int8, calib_batches=a.calib_batches,
-                   stop_event=stop)
+                   ready_event=ready, stop_event=stop)
 
 
 if __name__ == "__main__":

@@ -172,10 +172,18 @@ def updated_config(
 
 
 def dump_config(cfg: Dict[str, Any], path: str) -> None:
-    # serialize BEFORE touching the file: safe_dump raises mid-stream on
-    # non-YAML-safe values, and a partial config_*.yml would later be
-    # picked up by serve.load_trained_agent as if it were the real thing
+    # Crash-atomic: serialize first (safe_dump raises mid-stream on
+    # non-YAML-safe values), write to a temp file, then rename — a kill
+    # or ENOSPC mid-write can never leave a partial config_*.yml for
+    # serve.load_trained_agent's glob to consume as the real thing.
     text = yaml.safe_dump(cfg, default_flow_style=False, sort_keys=False)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
-        f.write(text)
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{os.path.basename(path)}.tmp.{os.getpid()}")
+    try:
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)

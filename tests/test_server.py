@@ -729,3 +729,54 @@ def test_client_uint8_daemon_contract():
     finally:
         stop.set()
         t.join(timeout=30)
+
+
+def test_client_spec_negative_cache_and_no_upcast(live_loop):
+    """Review fixes: (a) a failed /v1/spec probe is cached — predict()
+    never re-probes a known-absent endpoint; (b) _coerce only casts when
+    it SHRINKS the payload (float16 ships as float16; the server upcasts
+    free server-side)."""
+    from protoasnet_tpu.client import RetryableError, ServingClient
+
+    # (a) negative cache: count spec probes through a flaky transport
+    c = ServingClient(live_loop, timeout_s=60, retries=0)
+    real = c._request
+    probes = []
+
+    def counting(path, body=None):
+        if path == "/v1/spec":
+            probes.append(path)
+            raise RetryableError(0, "proxy ate it")
+        return real(path, body)
+
+    c._request = counting
+    x = np.ones((3, 4, 4), np.float32)
+    np.testing.assert_allclose(c.predict(x), x.sum(axis=(1, 2)))
+    np.testing.assert_allclose(c.predict(x), x.sum(axis=(1, 2)))
+    assert len(probes) == 1  # second predict() used the cached miss
+
+    # (b) no widening: float16 -> float32 daemon ships float16 untouched
+    c2 = ServingClient(live_loop, timeout_s=60)
+    xh = np.ones((2, 4, 4), np.float16)
+    assert c2._coerce(xh).dtype == np.float16
+    np.testing.assert_allclose(c2.predict(xh), [16.0, 16.0])
+    # ...and float64 still downcasts (2x fewer wire bytes)
+    assert c2._coerce(np.ones((2, 4, 4), np.float64)).dtype == np.float32
+
+
+def test_dump_config_atomic_on_unserializable(tmp_path):
+    """A failed dump leaves NO file at the target path (crash-atomicity
+    is exercised via the serialize-first + temp-rename path)."""
+    import pytest as _pytest
+    import yaml as _yaml
+
+    from protoasnet_tpu.utils.config import dump_config
+
+    p = tmp_path / "c.yml"
+    with _pytest.raises(_yaml.YAMLError):
+        dump_config({"bad": object()}, str(p))
+    assert not p.exists()
+    assert not list(tmp_path.iterdir())  # no temp litter either
+
+    dump_config({"ok": 1}, str(p))
+    assert _yaml.safe_load(p.read_text()) == {"ok": 1}
