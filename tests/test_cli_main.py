@@ -124,3 +124,17 @@ def test_main_cli_train_then_eval_only(cli_config):
     assert os.path.exists(os.path.join(run_dir, "config_eval_test.yml"))
     assert os.path.isdir(os.path.join(run_dir, "csv_test"))
     assert os.listdir(os.path.join(run_dir, "csv_test"))
+
+    # explain CLI over the same run (reference explain.py:17-52): loads
+    # the checkpoint, reads the push's prototype evidence, renders panels
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "explain.py"),
+         f"--config_path={cfg_path}", f"--data.data_info_file={csv}",
+         "--explain_locally=true", "--eval_data_type=test"],
+        env=_cli_env(), cwd=REPO, capture_output=True, text=True,
+        timeout=1800)
+    assert r3.returncode == 0, r3.stdout[-2000:] + r3.stderr[-2000:]
+    assert os.path.exists(os.path.join(run_dir, "config_explain_test.yml"))
+    exp_dir = os.path.join(run_dir, "explain_test")
+    assert os.path.isdir(exp_dir) and os.listdir(exp_dir), \
+        "explain CLI produced no artifacts"
