@@ -107,12 +107,25 @@ def main():
 
     if not args.cpu and args.wait_device_min > 0:
         if not wait_for_device(args.wait_device_min * 60.0):
-            print(json.dumps({
+            out = {
                 "metric": "inference_throughput", "value": None,
                 "unit": "clips/s", "vs_baseline": None,
                 "error": f"TPU unreachable for {args.wait_device_min:.0f} "
                          f"min (relay outage); no measurement taken",
-            }), flush=True)
+            }
+            try:  # point at the last real measurement instead of nothing
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")) as f:
+                    detail = json.load(f)
+                out["last_known"] = {
+                    "infer_clips_per_sec": detail.get("infer_clips_per_sec"),
+                    "train_clips_per_sec": detail.get("train_clips_per_sec"),
+                    "source": "BENCH_DETAIL.json (prior on-chip session)",
+                }
+            except Exception:  # noqa: BLE001 — best-effort context only
+                pass
+            print(json.dumps(out), flush=True)
             sys.exit(1)
 
     import jax
