@@ -176,3 +176,38 @@ def test_predict_cli_rejects_float_input_for_uint8_bundle(tmp_path,
         0, 256, size=(2, 32, 32), dtype=np.uint8))
     serve_main(["predict", "--bundle", bundle, "--input", ok,
                 "--batch", "2"])
+
+
+def test_uint8_gray_plus_int8_bundle(tmp_path, small_model):
+    """BOTH export flags together (`serve export --uint8_input --int8`,
+    the minimal-wire + fastest-compute deployment): raw uint8 frames in,
+    on-device eval transform, int8 backbone — logits match running the
+    transform by hand through the live quantized path."""
+    from protoasnet_tpu.data.transforms import normalize
+    from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                      calibrate_act_scales)
+    from protoasnet_tpu.serve import bundle_input_spec
+
+    model, params, stats = small_model
+    variables = {"params": params, "batch_stats": stats}
+    rng = np.random.default_rng(11)
+    calib = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    qstate = build_qstate(
+        variables, calibrate_act_scales(model, variables, [calib]))
+
+    path = str(tmp_path / "model_u8_int8.bundle")
+    save_serving_bundle(path, model, params, stats, (32, 32, 3),
+                        qstate=qstate, uint8_gray=True)
+    shape, dtype = bundle_input_spec(path)
+    assert shape == (None, 32, 32) and dtype == np.uint8
+
+    fn = load_serving_bundle(path)
+    xu8 = rng.integers(0, 256, size=(3, 32, 32), dtype=np.uint8)
+    got = np.asarray(fn(xu8), np.float32)
+
+    xf = normalize(jnp.asarray(xu8, jnp.float32) / 255.0)
+    xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
+    want = np.asarray(jax.jit(
+        lambda v, q, xx: apply_quantized(model, v, q, xx))(
+            variables, qstate, xf)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
