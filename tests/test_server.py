@@ -780,3 +780,40 @@ def test_dump_config_atomic_on_unserializable(tmp_path):
 
     dump_config({"ok": 1}, str(p))
     assert _yaml.safe_load(p.read_text()) == {"ok": 1}
+
+
+def test_http_fuzz_garbage_bodies_never_5xx(http_server):
+    """Adversarial wire fuzz: random byte salads, truncated npy headers,
+    wrong ranks/dtypes, pickled-object npys — every one must be a 4xx
+    client error (never a 5xx retryable, never a hang, never a poisoned
+    next request)."""
+    url, _ = http_server
+    rng = np.random.default_rng(99)
+
+    def npy_bytes(arr):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    good = npy_bytes(np.ones((2, 4, 4), np.float32))
+    bodies = [
+        rng.bytes(64),                      # random garbage
+        b"\x93NUMPY" + rng.bytes(40),       # magic then garbage
+        good[: len(good) // 2],             # truncated real npy
+        npy_bytes(np.ones((2, 4, 4), np.complex64)),   # unsafe dtype
+        npy_bytes(np.ones((2, 3, 3), np.float32))[:-7],  # short payload
+        npy_bytes(np.array(["a", "b"])),    # non-numeric
+        npy_bytes(np.ones((2,), np.float32)),            # rank too low
+        npy_bytes(np.ones((1, 2, 4, 4, 2), np.float32)),  # rank too high
+    ]
+    for i, body in enumerate(bodies):
+        req = urllib.request.Request(url + "/v1/predict", data=body,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=15)
+        assert 400 <= ei.value.code < 500, \
+            f"body {i}: got {ei.value.code}, want 4xx"
+        # the daemon must still be healthy and serve the NEXT request
+        out = _post_npy(url + "/v1/predict",
+                        np.ones((1, 4, 4), np.float32))
+        np.testing.assert_allclose(out, [16.0])
