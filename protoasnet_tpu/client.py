@@ -11,9 +11,10 @@ Wire format is the daemon's: request/response bodies are `.npy` bytes
   dtype, body cap) and validates/encodes locally, so a uint8 daemon gets
   uint8 bytes (12x smaller) without the caller knowing the wire dtype;
 - chunks large arrays so every request stays under the server's body cap
-  and its 16-batch request ceiling (server.py make_handler), streaming
-  chunk k+1 while the daemon computes chunk k (HTTP keep-alive, one
-  connection);
+  and request-sample ceiling (published in the spec). Within ONE request
+  the server itself pipelines max_batch-sized chunks so H2D staging
+  overlaps compute (server.submit_many); client-side requests are
+  sequential — prefer few large requests over many small ones;
 - maps status codes to typed errors — `BadRequestError` (400/413, the
   payload is wrong, never retried) vs `RetryableError` (504 overload /
   503 fault / connection refused-reset, retried with backoff).
@@ -130,36 +131,46 @@ class ServingClient:
 
     def spec(self) -> dict:
         """Input contract (cached): sample_shape, dtype, max_batch,
-        buckets, max_body_bytes. Raises BadRequestError(404) against a
-        pre-spec daemon — predict() then falls back to one request."""
+        buckets, max_body_bytes, max_request_samples. Raises
+        BadRequestError(404) against a pre-spec daemon — predict() then
+        falls back to one request."""
         if not isinstance(self._spec, dict):  # None, or False = cached miss
-            self._spec = json.loads(self._request_retry("/v1/spec"))
+            got = json.loads(self._request_retry("/v1/spec"))
+            if not isinstance(got, dict):
+                # a proxy/LB answering unknown paths with 200 + junk must
+                # not poison predict(): surface as a non-retryable miss
+                raise BadRequestError(
+                    0, f"/v1/spec returned non-dict JSON: {got!r:.80}")
+            self._spec = got
         return self._spec
 
     def _try_spec(self) -> Optional[dict]:
-        """spec() for internal best-effort use: any failure (404 on a
-        pre-spec daemon, proxy 5xx, transport) is cached as known-absent
-        so predict() probes /v1/spec at most once per client, and a
-        broken spec endpoint can never fail an otherwise-healthy
-        /v1/predict."""
-        if self._spec is False:  # cached negative
+        """spec() for internal best-effort use — a broken or absent spec
+        endpoint can never fail an otherwise-healthy /v1/predict.
+        Definitive misses (404 pre-spec daemon, non-JSON/non-dict body)
+        are cached so predict() probes at most once per client; transient
+        transport failures are NOT cached, so a blip during the first
+        call doesn't permanently disable chunking/coercion."""
+        if self._spec is False:  # cached definitive negative
             return None
         try:
             return self.spec()
-        except ServingError:
+        except (BadRequestError, ValueError):  # ValueError: non-JSON body
             self._spec = False
             return None
+        except RetryableError:
+            return None  # transient — re-probe on the next call
 
-    def _chunk_samples(self, x: np.ndarray) -> int:
+    def _chunk_samples(self, x: np.ndarray, spec: Optional[dict]) -> int:
         """Largest per-request sample count the server accepts."""
-        spec = self._try_spec()
         if spec is None:  # pre-/v1/spec daemon: single request
             return len(x)
         cap = len(x)
-        if spec.get("max_batch"):
-            # the handler enqueues one submit_many per request; the server
-            # itself splits into <= max_batch batches, but its body cap is
-            # sized at 16 full batches (server.py make_handler)
+        if spec.get("max_request_samples"):
+            cap = min(cap, int(spec["max_request_samples"]))
+        elif spec.get("max_batch"):
+            # older spec without the explicit ceiling: mirror the server's
+            # 16-full-batches body-cap sizing (server.py make_handler)
             cap = min(cap, 16 * int(spec["max_batch"]))
         if spec.get("max_body_bytes"):
             per = int(np.prod(x.shape[1:])) * x.dtype.itemsize
@@ -168,7 +179,8 @@ class ServingClient:
                                // max(1, per)))
         return max(1, cap)
 
-    def _coerce(self, x: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def _coerce(x: np.ndarray, spec: Optional[dict]) -> np.ndarray:
         """Cast to the wire dtype only when it SHRINKS the payload (a
         float64 array bound for a float32 daemon downcasts here rather
         than shipping 2x the bytes for the server to downcast anyway).
@@ -176,7 +188,6 @@ class ServingClient:
         inputs for free, so e.g. float16 ships as float16. Never coerces
         lossily (float frames to a uint8 daemon) — that 400s loudly
         server-side instead of silently truncating."""
-        spec = self._try_spec()
         if spec is None:
             return x
         want = np.dtype(spec.get("dtype", x.dtype))
@@ -192,7 +203,7 @@ class ServingClient:
         retried independently on RetryableError."""
         x = np.asarray(x)
         batched = True
-        spec = self._try_spec()
+        spec = self._try_spec()  # probed once per call, cached when definitive
         spec_shape = spec.get("sample_shape") if spec else None
         # NOTE against a pre-/v1/spec daemon the sample rank is unknown,
         # so an unbatched input comes back with the server-added batch
@@ -202,8 +213,8 @@ class ServingClient:
             x, batched = x[None], False
         if x.size == 0:
             raise BadRequestError(0, "empty input array")
-        x = self._coerce(x)
-        step = self._chunk_samples(x)
+        x = self._coerce(x, spec)
+        step = self._chunk_samples(x, spec)
         outs = []
         for i in range(0, len(x), step):
             body = _encode(np.ascontiguousarray(x[i:i + step]))

@@ -171,6 +171,10 @@ class DynamicBatcher:
     def _validate(self, x: np.ndarray) -> np.ndarray:
         if x.ndim < 2:
             raise ValueError("expected a batched array (n, ...)")
+        if len(x) == 0:
+            # fail loudly; downstream np.concatenate([]) would otherwise
+            # produce a baffling "need at least one array" error
+            raise ValueError("empty batch (0 samples)")
         if self.sample_shape is not None and x.shape[1:] != self.sample_shape:
             raise ValueError(f"sample shape {x.shape[1:]} != model input "
                              f"{self.sample_shape}")
@@ -320,7 +324,7 @@ class DynamicBatcher:
                     except queue.Empty:
                         break
                 if nxt is None:
-                    self._flush(group, total)
+                    self._flush(group)
                     self._drain_closed()
                     return
                 if nxt.abandoned:
@@ -331,14 +335,14 @@ class DynamicBatcher:
                     # doesn't fit (or, without submit-side shape validation,
                     # a different sample shape): serve the current group,
                     # start fresh — one request can't poison another's batch
-                    self._flush(group, total)
+                    self._flush(group)
                     group, total = [nxt], len(nxt.x)
                     self._current_group = group
                     deadline = time.monotonic() + self.max_delay_s
                     continue
                 group.append(nxt)
                 total += len(nxt.x)
-            self._flush(group, total)
+            self._flush(group)
             self._current_group = []
 
     def _drain_closed(self):
@@ -353,7 +357,7 @@ class DynamicBatcher:
                 p.error = RuntimeError("batcher closed")
                 p.event.set()
 
-    def _flush(self, group: List[_Pending], total: int):
+    def _flush(self, group: List[_Pending]):
         # drop requests whose waiter timed out while queued — computing
         # them would spend chip time on work nobody reads (overload spiral)
         live = [p for p in group if not p.abandoned]
@@ -394,6 +398,38 @@ class DynamicBatcher:
 # --- HTTP front end ---------------------------------------------------------
 
 
+class _Inflight:
+    """Counts requests a handler thread has accepted but not finished, so
+    shutdown can wait for them: ThreadingHTTPServer marks handler threads
+    daemon, which server_close() deliberately does NOT join — without
+    this, stop_event teardown would close the batcher under a request
+    that was fully received but not yet enqueued (client sees a 503/cut
+    connection for work the daemon accepted)."""
+
+    def __init__(self):
+        self._n = 0
+        self._cv = threading.Condition()
+
+    def __enter__(self):
+        with self._cv:
+            self._n += 1
+
+    def __exit__(self, *a):
+        with self._cv:
+            self._n -= 1
+            self._cv.notify_all()
+
+    def wait_idle(self, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while self._n:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return False
+                self._cv.wait(left)
+            return True
+
+
 def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                  timeout_s: float = 60.0,
                  max_body_bytes: int = 256 << 20):
@@ -408,6 +444,12 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socket read timeout: a client that sends Content-Length and then
+        # stalls would otherwise pin a handler thread forever (slow-loris
+        # thread exhaustion); BaseHTTPRequestHandler applies this to the
+        # connection and treats a timeout as close_connection
+        timeout = 120.0
+        inflight = _Inflight()
 
         def log_message(self, *a):  # quiet by default
             pass
@@ -444,6 +486,9 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                     "max_batch": batcher.max_batch,
                     "buckets": list(batcher.buckets),
                     "max_body_bytes": max_body_bytes,
+                    # explicit per-request sample ceiling so clients don't
+                    # have to mirror the body-cap sizing heuristic
+                    "max_request_samples": 16 * batcher.max_batch,
                 }).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -452,8 +497,32 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
             if self.path != "/v1/predict":
                 self._send(404, b"not found", "text/plain")
                 return
+            with self.inflight:
+                self._do_predict()
+
+        def _do_predict(self):
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                # Content-Length must exist and be a non-negative int:
+                # chunked bodies have none (the unread body would desync
+                # keep-alive), and a negative value would turn rfile.read
+                # into read-to-EOF — a handler thread pinned until the
+                # peer hangs up
+                te = self.headers.get("Transfer-Encoding")
+                cl = self.headers.get("Content-Length")
+                if te or cl is None:
+                    self.close_connection = True
+                    self._send(400, b"Content-Length required "
+                               b"(chunked bodies unsupported)", "text/plain")
+                    return
+                try:
+                    n = int(cl)
+                except ValueError:
+                    n = -1
+                if n < 0:
+                    self.close_connection = True
+                    self._send(400, f"bad Content-Length {cl!r}".encode(),
+                               "text/plain")
+                    return
                 if n > max_body_bytes:
                     # the body was NOT read: close the connection, or a
                     # keep-alive client's unread npy bytes get parsed as
@@ -513,11 +582,11 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
         print(f"warmed {len(batcher.buckets)} buckets "
               f"{batcher.buckets} in {time.monotonic() - t0:.1f}s")
     sample_bytes = int(np.prod(sample_shape)) * np.dtype(dtype).itemsize
-    httpd = ThreadingHTTPServer(
-        (host, port),
-        make_handler(batcher, sample_ndim=len(sample_shape),
-                     # npy header is tiny; allow 16 full batches per request
-                     max_body_bytes=16 * max_batch * sample_bytes + (1 << 20)))
+    handler_cls = make_handler(
+        batcher, sample_ndim=len(sample_shape),
+        # npy header is tiny; allow 16 full batches per request
+        max_body_bytes=16 * max_batch * sample_bytes + (1 << 20))
+    httpd = ThreadingHTTPServer((host, port), handler_cls)
     if ready_event is not None:
         ready_event.port = httpd.server_address[1]
         ready_event.set()
@@ -534,6 +603,14 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
         pass
     finally:
         httpd.server_close()
+        # handler threads are daemons (server_close doesn't join them):
+        # wait for requests already ACCEPTED to finish before closing the
+        # batcher, or a request received moments before shutdown gets a
+        # 503 for work the daemon took responsibility for. Bounded by the
+        # handler's submit timeout; stragglers past it fail loud below.
+        if not handler_cls.inflight.wait_idle(65.0):
+            print("shutdown: abandoning handler(s) still in flight "
+                  "after 65s", flush=True)
         batcher.close()
 
 

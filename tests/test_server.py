@@ -731,37 +731,79 @@ def test_client_uint8_daemon_contract():
         t.join(timeout=30)
 
 
-def test_client_spec_negative_cache_and_no_upcast(live_loop):
-    """Review fixes: (a) a failed /v1/spec probe is cached — predict()
-    never re-probes a known-absent endpoint; (b) _coerce only casts when
-    it SHRINKS the payload (float16 ships as float16; the server upcasts
-    free server-side)."""
-    from protoasnet_tpu.client import RetryableError, ServingClient
+def test_client_spec_cache_semantics_and_no_upcast(live_loop):
+    """Review fixes: (a) definitive /v1/spec misses (404, non-dict 200)
+    are cached — one probe per client; (b) transient transport failures
+    are NOT cached (a blip during the first call must not permanently
+    disable chunking) but cost at most one probe per predict(); (c)
+    _coerce only casts when it SHRINKS the payload (float16 ships as
+    float16; the server upcasts free server-side)."""
+    from protoasnet_tpu.client import (BadRequestError, RetryableError,
+                                       ServingClient)
 
-    # (a) negative cache: count spec probes through a flaky transport
+    x = np.ones((3, 4, 4), np.float32)
+
+    # (a) definitive miss (pre-spec daemon 404): cached after one probe
     c = ServingClient(live_loop, timeout_s=60, retries=0)
     real = c._request
     probes = []
 
-    def counting(path, body=None):
+    def gone(path, body=None):
         if path == "/v1/spec":
             probes.append(path)
-            raise RetryableError(0, "proxy ate it")
+            raise BadRequestError(404, "not found")
         return real(path, body)
 
-    c._request = counting
-    x = np.ones((3, 4, 4), np.float32)
+    c._request = gone
     np.testing.assert_allclose(c.predict(x), x.sum(axis=(1, 2)))
     np.testing.assert_allclose(c.predict(x), x.sum(axis=(1, 2)))
     assert len(probes) == 1  # second predict() used the cached miss
 
-    # (b) no widening: float16 -> float32 daemon ships float16 untouched
-    c2 = ServingClient(live_loop, timeout_s=60)
+    # (a') a proxy answering 200 + non-dict JSON is also a definitive miss
+    c1 = ServingClient(live_loop, timeout_s=60, retries=0)
+    real1, probes1 = c1._request, []
+
+    def junk(path, body=None):
+        if path == "/v1/spec":
+            probes1.append(path)
+            return b"null"
+        return real1(path, body)
+
+    c1._request = junk
+    np.testing.assert_allclose(c1.predict(x), x.sum(axis=(1, 2)))
+    np.testing.assert_allclose(c1.predict(x), x.sum(axis=(1, 2)))
+    assert len(probes1) == 1
+
+    # (b) transient failure: re-probed next predict (once per call, not
+    # once per internal helper), then recovery restores chunking state
+    c2 = ServingClient(live_loop, timeout_s=60, retries=0)
+    real2, probes2 = c2._request, []
+    flaky_state = {"down": True}
+
+    def flaky(path, body=None):
+        if path == "/v1/spec":
+            probes2.append(path)
+            if flaky_state["down"]:
+                raise RetryableError(0, "blip")
+        return real2(path, body)
+
+    c2._request = flaky
+    np.testing.assert_allclose(c2.predict(x), x.sum(axis=(1, 2)))
+    assert len(probes2) == 1  # one probe for the whole predict() call
+    flaky_state["down"] = False
+    np.testing.assert_allclose(c2.predict(x), x.sum(axis=(1, 2)))
+    assert len(probes2) == 2 and isinstance(c2._spec, dict)  # recovered
+
+    # (c) no widening: float16 -> float32 daemon ships float16 untouched
+    c3 = ServingClient(live_loop, timeout_s=60)
+    spec = c3.spec()
+    assert spec["max_request_samples"] == 16 * spec["max_batch"]
     xh = np.ones((2, 4, 4), np.float16)
-    assert c2._coerce(xh).dtype == np.float16
-    np.testing.assert_allclose(c2.predict(xh), [16.0, 16.0])
+    assert c3._coerce(xh, spec).dtype == np.float16
+    np.testing.assert_allclose(c3.predict(xh), [16.0, 16.0])
     # ...and float64 still downcasts (2x fewer wire bytes)
-    assert c2._coerce(np.ones((2, 4, 4), np.float64)).dtype == np.float32
+    assert c3._coerce(np.ones((2, 4, 4), np.float64), spec).dtype \
+        == np.float32
 
 
 def test_dump_config_atomic_on_unserializable(tmp_path):
@@ -817,3 +859,52 @@ def test_http_fuzz_garbage_bodies_never_5xx(http_server):
         out = _post_npy(url + "/v1/predict",
                         np.ones((1, 4, 4), np.float32))
         np.testing.assert_allclose(out, [16.0])
+
+
+def test_http_missing_negative_or_chunked_content_length_is_400(http_server):
+    """Header-level protocol abuse: no Content-Length, a negative one
+    (which would turn rfile.read into a thread-pinning read-to-EOF), or
+    chunked transfer-encoding must all be 400 + connection close — never
+    a hang, never a keep-alive desync."""
+    import http.client as hc
+    from urllib.parse import urlparse
+
+    url, _ = http_server
+    u = urlparse(url)
+
+    for headers in ({}, {"Content-Length": "-5"},
+                    {"Content-Length": "nope"},
+                    {"Transfer-Encoding": "chunked"}):
+        conn = hc.HTTPConnection(u.hostname, u.port, timeout=10)
+        try:
+            conn.putrequest("POST", "/v1/predict")
+            for k, v in headers.items():
+                conn.putheader(k, v)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, (headers, resp.status)
+            assert resp.getheader("Connection") == "close"
+        finally:
+            conn.close()
+
+
+def test_batcher_rejects_empty_batch():
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="empty batch"):
+            b.submit(np.ones((0, 2, 2), np.float32))
+        with pytest.raises(ValueError, match="empty batch"):
+            b.submit_many(np.ones((0, 2, 2), np.float32))
+    finally:
+        b.close()
+
+
+def test_http_empty_npy_batch_is_400(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        url + "/v1/predict", method="POST",
+        data=(lambda b: (np.save(b, np.ones((0, 4, 4), np.float32)),
+                         b.getvalue())[1])(io.BytesIO()))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
