@@ -1,0 +1,136 @@
+"""Analytic model-FLOPs counter (jaxpr walk) and MFU computation.
+
+Motivation (VERDICT round-3 weak #1): the dev host reaches its TPU through
+a relay whose link rate drifts 2-4x day to day, so absolute clips/s in
+``BENCH_r*.json`` are not comparable across rounds. Model FLOPs, by
+contrast, are a pure function of the traced computation — counting them
+analytically and reporting measured-FLOPs/s as a fraction of the chip's
+peak (MFU) gives a drift-immune perf number for the compute-bound paths.
+
+The count walks the jaxpr and sums multiply-accumulate work for the two
+primitives that carry essentially all MXU FLOPs:
+
+- ``conv_general_dilated``: 2 * prod(out_shape) * (C_in / groups) * prod(k)
+- ``dot_general``: 2 * prod(batch) * M * N * K
+
+Elementwise/reduction work (BN, activations, pooling, softmax) is ignored
+— it is HBM-bound, not MXU-bound, and standard MFU accounting (e.g. the
+PaLM appendix convention) counts matmul FLOPs only. Control-flow bodies
+are recursed: ``scan`` multiplied by its trip count, ``while_loop`` bodies
+counted ONCE (documented approximation; no hot path here uses while).
+
+Tracing only — no device, no compile, safe to run with the relay down.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import numpy as np
+
+# v5e peak MXU throughput per chip (public spec: 197 TFLOP/s bf16,
+# 394 TOPS int8). fp32 on the MXU runs via multi-pass bf16 at roughly
+# a third of bf16 peak; we report fp32 MFU against bf16 peak (conservative).
+PEAK_FLOPS = {
+    "bf16": 197e12,
+    "int8": 394e12,
+    "fp32": 197e12,
+}
+
+
+def _dot_general_flops(eqn) -> float:
+    lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    batch = math.prod(lhs.shape[d] for d in lb)
+    k = math.prod(lhs.shape[d] for d in lc)
+    m = math.prod(lhs.shape[d] for d in range(lhs.ndim)
+                  if d not in lc and d not in lb)
+    n = math.prod(rhs.shape[d] for d in range(rhs.ndim)
+                  if d not in rc and d not in rb)
+    return 2.0 * batch * m * n * k
+
+
+def _conv_flops(eqn) -> float:
+    rhs = eqn.invars[1].aval
+    out = eqn.outvars[0].aval
+    dn = eqn.params["dimension_numbers"]
+    groups = (eqn.params.get("feature_group_count", 1)
+              * eqn.params.get("batch_group_count", 1))
+    k_spatial = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
+    c_in = rhs.shape[dn.rhs_spec[1]]  # already per-group in the kernel
+    del groups  # kernel's input-feature dim is per-group by construction
+    return 2.0 * math.prod(out.shape) * c_in * k_spatial
+
+
+def _jaxpr_flops(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            total += _dot_general_flops(eqn)
+        elif prim == "conv_general_dilated":
+            total += _conv_flops(eqn)
+        elif prim == "scan":
+            total += eqn.params["length"] * _jaxpr_flops(
+                eqn.params["jaxpr"].jaxpr)
+        elif prim == "while":
+            # trip count unknowable statically: count one body iteration
+            total += _jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+            total += _jaxpr_flops(eqn.params["cond_jaxpr"].jaxpr)
+        elif prim == "cond":
+            # branches are alternatives; take the max (upper bound)
+            total += max((_jaxpr_flops(b.jaxpr)
+                          for b in eqn.params["branches"]), default=0.0)
+        else:
+            # recurse into any nested jaxpr (pjit, closed_call, custom_jvp/
+            # vjp, remat, checkpoint, ...)
+            for v in eqn.params.values():
+                total += _nested_flops(v)
+    return total
+
+
+def _nested_flops(v: Any) -> float:
+    if isinstance(v, jax.extend.core.ClosedJaxpr):
+        return _jaxpr_flops(v.jaxpr)
+    if isinstance(v, jax.extend.core.Jaxpr):
+        return _jaxpr_flops(v)
+    if isinstance(v, (tuple, list)):
+        return sum(_nested_flops(x) for x in v)
+    return 0.0
+
+
+def count_flops(fn, *args, **kwargs) -> float:
+    """Analytic matmul+conv FLOPs of ``fn(*args, **kwargs)`` (trace only)."""
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+    return _jaxpr_flops(closed.jaxpr)
+
+
+def mfu(flops_per_item: float, items_per_sec: float,
+        dtype: str = "bf16") -> float:
+    """Model FLOPs utilization: achieved FLOP/s over chip peak for dtype."""
+    return flops_per_item * items_per_sec / PEAK_FLOPS[dtype]
+
+
+def summarize(fn, *args, per: int = 1, **kwargs) -> dict:
+    """FLOPs total and per-item (``per`` = batch size) for a callable."""
+    total = count_flops(fn, *args, **kwargs)
+    return {"flops": total, "flops_per_item": total / max(1, per)}
+
+
+if __name__ == "__main__":  # quick sanity: known-shape matmul + conv
+    import jax.numpy as jnp
+
+    a = np.zeros((8, 64), np.float32)
+    b = np.zeros((64, 32), np.float32)
+    got = count_flops(lambda x, y: x @ y, a, b)
+    assert got == 2 * 8 * 64 * 32, got
+    x = np.zeros((2, 16, 16, 3), np.float32)
+    w = np.zeros((3, 3, 3, 8), np.float32)
+    got = count_flops(
+        lambda x, w: jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), x, w)
+    assert got == 2 * (2 * 16 * 16 * 8) * 3 * 9, got
+    print("flops.py self-check ok")
