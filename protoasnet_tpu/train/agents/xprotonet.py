@@ -209,6 +209,23 @@ class _XProtoNetAgentCommon(BaseAgent):
             df = pd.concat(epoch_pred_log, axis=0).reset_index(drop=True)
             df.to_csv(os.path.join(
                 path_to_csv, f"e{epoch:02d}_f1_{summary['f1_mean']:.0%}.csv"))
+            # video-level reduction (mean prob over a video's intervals) —
+            # the paper's headline quantity. The reference stops at the
+            # per-interval CSV (base.py:195-211); we emit both.
+            from protoasnet_tpu.train.aggregate import aggregate_predictions
+
+            video_df, video_metrics = aggregate_predictions(
+                df, abstain_class=self.abstain_class)
+            video_df.to_csv(os.path.join(
+                path_to_csv, f"e{epoch:02d}_video_level.csv"), index=False)
+            logging.info(
+                "%s e%d video-level (%d videos): %s", mode, epoch,
+                video_metrics.get("n_videos", 0),
+                {k: round(v, 4) for k, v in video_metrics.items()
+                 if k != "n_videos"})
+            self.tracker.log({
+                f"epoch/{mode}/video_{k}": v
+                for k, v in video_metrics.items()})
 
         return summary["accuracy"], summary["f1_mean"], summary["AUC"]
 

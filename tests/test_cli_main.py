@@ -10,6 +10,7 @@ import os
 import subprocess
 import sys
 
+import pandas as pd
 import pytest
 import yaml
 
@@ -124,6 +125,17 @@ def test_main_cli_train_then_eval_only(cli_config):
     assert os.path.exists(os.path.join(run_dir, "config_eval_test.yml"))
     assert os.path.isdir(os.path.join(run_dir, "csv_test"))
     assert os.listdir(os.path.join(run_dir, "csv_test"))
+    # --eval_only also emits the paper's headline quantity: the per-video
+    # reduction (mean prob over intervals) next to the interval CSV
+    video_csvs = [f for f in os.listdir(os.path.join(run_dir, "csv_test"))
+                  if f.endswith("video_level.csv")]
+    assert video_csvs, os.listdir(os.path.join(run_dir, "csv_test"))
+    vdf = pd.read_csv(os.path.join(run_dir, "csv_test", video_csvs[0]))
+    for col in ("filename", "target_AS", "n_intervals", "pred_AS"):
+        assert col in vdf.columns, vdf.columns
+    assert (vdf["n_intervals"] >= 1).all()
+    # one row per unique video
+    assert vdf["filename"].is_unique
 
     # explain CLI over the same run (reference explain.py:17-52): loads
     # the checkpoint, reads the push's prototype evidence, renders panels
