@@ -110,6 +110,8 @@ def main():
     ap.add_argument("--max_delay_ms", type=float, default=5.0)
     ap.add_argument("--uint8", action="store_true",
                     help="uint8-gray wire format (the --uint8_input path)")
+    ap.add_argument("--int8", action="store_true",
+                    help="w8a8 backbone via quant.py (the serve --int8 path)")
     ap.add_argument("--img_size", type=int, default=112)
     ap.add_argument("--frames", type=int, default=32)
     a = ap.parse_args()
@@ -141,6 +143,18 @@ def main():
     params, stats = init_model(model, jnp.zeros((1, *model_in)), seed=0)
     variables = {"params": params, "batch_stats": stats}
 
+    apply_fn = lambda v, x: model.apply(v, x, train=False)[0]
+    if a.int8:
+        # the serve --int8 path: w8a8 backbone, scales calibrated once
+        from protoasnet_tpu.quant import (apply_quantized, build_qstate,
+                                          calibrate_act_scales)
+
+        calib = jnp.asarray(np.random.default_rng(1)
+                            .normal(size=(4, *model_in)).astype(np.float32))
+        qstate = build_qstate(variables,
+                              calibrate_act_scales(model, variables, [calib]))
+        apply_fn = lambda v, x: apply_quantized(model, v, qstate, x)[0]
+
     if a.uint8:
         # the --uint8_input serving path: raw gray uint8 over the wire,
         # /255 + normalize + gray->3ch ON DEVICE — 12x fewer H2D bytes
@@ -149,16 +163,18 @@ def main():
         def forward(v, x):
             xf = normalize(x.astype(jnp.float32) * (1.0 / 255.0))
             xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
-            return model.apply(v, xf, train=False)[0]
+            return apply_fn(v, xf)
 
         sample_shape = model_in[:-1]
         label = "uint8-gray wire"
     else:
         def forward(v, x):
-            return model.apply(v, x, train=False)[0]
+            return apply_fn(v, x)
 
         sample_shape = model_in
         label = "float32 wire"
+    if a.int8:
+        label += " + int8 backbone"
 
     fwd = jax.jit(forward)
 
