@@ -455,7 +455,11 @@ def _suite_benches(args, rng):
     vcfg = {"name": "Video_XProtoNet", "base_architecture": "resnet2p1d_18",
             "backbone_last_layer_num": -3, "prototype_shape": (40, 256, 1, 1, 1),
             "num_classes": 4, "img_size": 112}
-    vmodel = build_model(vcfg)
+    # honor the shipped dtype like every other section: flagship configs
+    # are bf16, so in-training pushes run through the bf16 model — an
+    # fp32-only push row would understate the shipped path ~2x.
+    vmodel = build_model({**vcfg, "dtype": "bfloat16"} if args.bf16
+                         else vcfg)
     vx = jnp.zeros((1, 32, 112, 112, 3))
     vparams, vstats = init_model(vmodel, vx, seed=0)
     bundle = LossBundle({}, 4, True)

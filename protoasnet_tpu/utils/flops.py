@@ -28,6 +28,7 @@ import math
 from typing import Any
 
 import jax
+import jax.extend.core  # jax.extend is a lazy submodule: import explicitly
 import numpy as np
 
 # v5e peak MXU throughput per chip (public spec: 197 TFLOP/s bf16,
