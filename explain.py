@@ -8,7 +8,9 @@ Parity with the reference (/root/reference/explain.py:17-52):
 """
 
 from protoasnet_tpu.utils.config import updated_config, dump_config
-from protoasnet_tpu.utils.run import create_save_loc, set_logger, set_seed
+from protoasnet_tpu.utils.run import (create_save_loc,
+                                      enable_compilation_cache, set_logger,
+                                      set_seed)
 
 
 def main():
@@ -16,6 +18,7 @@ def main():
     from protoasnet_tpu.parallel import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    enable_compilation_cache()
 
     config = updated_config()
     create_save_loc(config)

@@ -11,7 +11,9 @@ Parity with the reference entry point (/root/reference/main.py:18-59):
 import logging
 
 from protoasnet_tpu.utils.config import updated_config, dump_config
-from protoasnet_tpu.utils.run import backup_code, create_save_loc, set_logger, set_seed
+from protoasnet_tpu.utils.run import (backup_code, create_save_loc,
+                                      enable_compilation_cache, set_logger,
+                                      set_seed)
 
 
 def main():
@@ -21,6 +23,7 @@ def main():
     from protoasnet_tpu.parallel import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    enable_compilation_cache()
 
     config = updated_config()
     create_save_loc(config)

@@ -318,6 +318,11 @@ def main(argv=None) -> None:
     pr.add_argument("--batch", type=int, default=128)
     pr.set_defaults(fn=_predict_cmd)
     args = ap.parse_args(argv)
+    # Persistent XLA cache (utils/run.py): export re-runs and repeated
+    # bundle predicts skip recompiles.
+    from protoasnet_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
 
 

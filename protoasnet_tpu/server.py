@@ -697,6 +697,12 @@ def main(argv=None):
     ap.add_argument("--calib_batches", type=int, default=4)
     a = ap.parse_args(argv)
 
+    # Persistent XLA cache: daemon restarts skip the minutes-long warmup
+    # recompiles (measured 2.6-17x faster cold start; utils/run.py).
+    from protoasnet_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # Supervisors (systemd, k8s, docker stop) send SIGTERM, not SIGINT;
     # route it through stop_event so in-flight batches drain cleanly.
     # During startup (model load / int8 calibration / warmup compiles —

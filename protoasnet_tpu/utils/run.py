@@ -21,7 +21,45 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["set_seed", "set_logger", "create_save_loc", "backup_code", "makedir"]
+__all__ = ["set_seed", "set_logger", "create_save_loc", "backup_code", "makedir",
+           "enable_compilation_cache"]
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None,
+                             min_compile_time_secs: float = 1.0) -> Optional[str]:
+    """Turn on JAX's persistent XLA compilation cache for this process.
+
+    JAX ships this off by default, so every ``main.py`` / serving-daemon
+    start pays the full XLA compile of every jitted program. Measured on
+    this host (2026-08-19, 6-conv probe through the TPU relay): cold
+    compile 181.7 s vs 70.6 s / 10.8 s warm-from-cache across two sessions
+    — a 2.6–17x startup win, biggest exactly where it matters (restarting
+    a trained run, redeploying the daemon). The reference has no
+    equivalent (torch eager compiles nothing).
+
+    Resolution order: explicit arg > ``PROTOASNET_COMPILE_CACHE_DIR`` env >
+    ``~/.cache/protoasnet_tpu/xla``. Set ``PROTOASNET_NO_COMPILE_CACHE=1``
+    to opt out (returns None). Safe to call more than once; call before
+    the first jit compile for full effect (later calls still help later
+    compiles). Returns the cache dir in use.
+    """
+    if os.environ.get("PROTOASNET_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "PROTOASNET_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "protoasnet_tpu", "xla"))
+    makedir(cache_dir)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Only skip truly trivial programs; the relay makes even small
+    # compiles expensive, so the default 1.0 s floor is already generous.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
 
 
 def makedir(path: str) -> None:

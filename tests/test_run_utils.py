@@ -6,7 +6,7 @@ import numpy as np
 
 from protoasnet_tpu.tracking.trackers import JsonlTracker
 from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint
-from protoasnet_tpu.utils.run import create_save_loc
+from protoasnet_tpu.utils.run import create_save_loc, enable_compilation_cache
 
 
 def test_create_save_loc_increments_without_ckpt(tmp_path):
@@ -55,6 +55,29 @@ def test_jsonl_tracker(tmp_path):
     rows = [json.loads(line) for line in open(t.path)]
     assert rows[0]["a"] == 1.0 and rows[0]["b"] == 2.5 and rows[0]["name"] == "x"
     assert rows[1]["a"] == 2.0
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit dir wins and is created
+        target = str(tmp_path / "xla")
+        monkeypatch.delenv("PROTOASNET_NO_COMPILE_CACHE", raising=False)
+        assert enable_compilation_cache(cache_dir=target) == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        # env var beats the ~/.cache default
+        env_dir = str(tmp_path / "env_xla")
+        monkeypatch.setenv("PROTOASNET_COMPILE_CACHE_DIR", env_dir)
+        assert enable_compilation_cache() == env_dir
+        # opt-out returns None and leaves config untouched
+        monkeypatch.setenv("PROTOASNET_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache(cache_dir=str(tmp_path / "no")) is None
+        assert jax.config.jax_compilation_cache_dir == env_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
 
 
 def test_aggregate_predictions():
