@@ -16,11 +16,17 @@ x dtype {fp32, bf16}. A secondary leg runs the REAL push_prototypes carry
 to confirm the fold does not erase the forward win.
 
 Usage:
-    PYTHONPATH=/root/repo:/root/.axon_site python -m experiments.push_batch_ab
+    PYTHONPATH=/root/repo:/root/.axon_site python -m experiments.push_batch_ab \
+        [--legs fwd|staged|both]
+
+Lesson from the first attempt (2026-08-19): n1=2/n2=6 gives a 4-batch
+signal (~0.6 s) against the relay's ~0.5 s per-call jitter — negative
+marginals. Use >=16-batch deltas (bench.py uses 30).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -28,6 +34,9 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--legs", default="both", choices=["fwd", "staged", "both"])
+    cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +52,12 @@ def main():
     rng = np.random.default_rng(0)
     out = {}
 
-    for dname, cfg in (("fp32", base),
-                       ("bf16", {**base, "dtype": "bfloat16"})):
+    # bf16 is the shipped flagship dtype; fp32 only at b32 as the
+    # historical sanity row (bench.py's pre-round-4 push numbers).
+    sweep = {"fp32": (32,), "bf16": (32, 64, 128)}
+    for dname, cfg in (() if cli.legs == "staged" else
+                       (("fp32", base),
+                        ("bf16", {**base, "dtype": "bfloat16"}))):
         model = build_model(cfg)
         params, stats = init_model(model, jnp.zeros((1, 32, 112, 112, 3)),
                                    seed=0)
@@ -61,9 +74,13 @@ def main():
                 return xc + 1e-6 * dist.sum()
             return jax.lax.fori_loop(0, n, body, x).sum()
 
-        chained = jax.jit(chained, static_argnames=("n",))
+        # n must be TRACED (fori_loop takes a dynamic bound): a static n
+        # recompiles per n-value and the two-point fit then measures
+        # compile-time variance, not runtime (first attempts: negative
+        # marginals). bench.py's chained() has the same shape.
+        chained = jax.jit(chained)
 
-        for b in (32, 64, 128):
+        for b in sweep[dname]:
             x = jnp.asarray(rng.normal(
                 size=(b, 32, 112, 112, 3)).astype(np.float32))
             try:
@@ -72,7 +89,8 @@ def main():
                 out[f"push_fwd_{dname}_b{b}"] = f"FAILED: {type(e).__name__}"
                 print(f"{dname} b{b}: {e}", flush=True)
                 continue
-            n1, n2 = 2, 6
+            # >=16-batch delta so the signal dominates relay jitter
+            n1, n2 = 4, 20
             t0 = time.time(); float(chained(params, stats, x, n1))
             ta = time.time() - t0
             t0 = time.time(); float(chained(params, stats, x, n2))
@@ -82,6 +100,10 @@ def main():
             out[f"push_fwd_{dname}_b{b}_clips_per_sec"] = round(cps, 1)
             print(f"push_forward {dname} b{b}: {cps:7.1f} clips/s "
                   f"({per * 1000:.1f} ms/batch)", flush=True)
+
+    if cli.legs == "fwd":
+        print(json.dumps(out))
+        return
 
     # --- secondary: REAL push_prototypes (fold carry + winner readback)
     # over pre-staged device batches, bf16, batch 32 vs 128. Two dataset

@@ -420,9 +420,15 @@ def get_as_dataloader(config: Dict[str, Any], split: str, mode: str,
         if mode != "push":
             iterate_intervals = bool(config.get("iterate_intervals", False))
         else:
-            # push is inference-only: a bigger batch amortizes the per-batch
-            # relay round trip (train batches are sized for fwd+bwd memory)
-            bsize = int(config.get("push_batch_size") or max(bsize, 32))
+            # push is inference-only, so it rides the eval/serving batch
+            # size rather than the fwd+bwd-memory-sized train batch.
+            # Measured on v5e (experiments/push_batch_ab.py, 2026-08-19):
+            # the REAL push carry at bf16 batch 128 does 721 clips/s
+            # marginal vs 538 at batch 32 (1.34x); forward-only scan
+            # 637.7 vs 508.7.
+            bsize = int(config.get("push_batch_size")
+                        or config.get("eval_batch_size")
+                        or max(bsize, 32))
         if config["frames"] == 1:
             bsize = config.get("eval_batch_size", 150)
         elif mode != "push" and config.get("eval_batch_size"):

@@ -77,8 +77,9 @@ def test_eval_deterministic(synthetic_csv):
 
 
 def test_video_eval_batch_override(synthetic_csv):
-    """eval_batch_size applies to video val/test loaders (forward-only:
-    serving-sized batches), never to train or push."""
+    """eval_batch_size applies to video val/test loaders AND push (both
+    forward-only: serving-sized batches, measured 1.34x push win at 128,
+    experiments/push_batch_ab.py), never to train."""
     cfg = _data_config(synthetic_csv, batch=2)
     cfg["eval_batch_size"] = 6
     val = get_as_dataloader(cfg, split="val", mode="val", seed=0)
@@ -86,7 +87,13 @@ def test_video_eval_batch_override(synthetic_csv):
     train = get_as_dataloader(cfg, split="train", mode="train", seed=0)
     assert train.batch_size == 2
     push = get_as_dataloader(cfg, split="train", mode="push", seed=0)
-    assert push.batch_size == 32  # push keeps its own sizing
+    assert push.batch_size == 6  # push rides the eval batch size
+    cfg["push_batch_size"] = 4  # explicit override beats eval_batch_size
+    assert get_as_dataloader(cfg, split="train", mode="push",
+                             seed=0).batch_size == 4
+    del cfg["push_batch_size"], cfg["eval_batch_size"]
+    assert get_as_dataloader(cfg, split="train", mode="push",
+                             seed=0).batch_size == 32  # legacy floor
     # epoch coverage unchanged: every interval still seen exactly once
     m = Manifest.from_csv(synthetic_csv, view="all", split="val")
     seen = sum(int(b["valid"].sum()) for b in val)
