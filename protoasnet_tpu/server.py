@@ -29,6 +29,7 @@ Usage:
     # POST /v1/predict   body = .npy bytes (b, [T,] H, W[, 3]) -> .npy logits
     # GET  /healthz      liveness
     # GET  /v1/stats     batching/latency counters (JSON)
+    # GET  /metrics      the same counters in Prometheus text format
 """
 
 from __future__ import annotations
@@ -43,7 +44,62 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["DynamicBatcher", "BatcherStats", "make_handler", "serve_forever",
-           "serve_live"]
+           "serve_live", "prometheus_text"]
+
+
+def prometheus_text(snapshot: dict, healthy: bool) -> str:
+    """Render a ``BatcherStats.snapshot()`` as Prometheus exposition text.
+
+    Dependency-free (no prometheus_client): the v0.0.4 text format is
+    lines of ``# TYPE``/``# HELP`` + ``name{labels} value``. Served at
+    GET /metrics so a standard Prometheus/Grafana scrape works against
+    the daemon out of the box; /v1/stats stays the JSON twin.
+    """
+    lines: List[str] = []
+
+    def metric(name, mtype, help_, value, labels=""):
+        lines.append(f"# HELP protoasnet_{name} {help_}")
+        lines.append(f"# TYPE protoasnet_{name} {mtype}")
+        if value is not None:
+            lines.append(f"protoasnet_{name}{labels} {value}")
+
+    metric("healthy", "gauge", "1 while the dispatch thread is alive",
+           1 if healthy else 0)
+    metric("requests_total", "counter", "predict requests accepted",
+           snapshot["requests"])
+    metric("samples_total", "counter", "real samples computed",
+           snapshot["samples"])
+    metric("batches_total", "counter", "device batches dispatched",
+           snapshot["batches"])
+    metric("errors_total", "counter", "requests failed in compute",
+           snapshot["errors"])
+    metric("abandoned_total", "counter",
+           "requests that timed out before compute", snapshot["abandoned"])
+    metric("padding_fraction", "gauge",
+           "fraction of device slots wasted on bucket padding",
+           snapshot["padding_frac"])
+    if snapshot.get("mean_batch") is not None:
+        metric("mean_batch_size", "gauge", "real samples per device batch",
+               round(snapshot["mean_batch"], 4))
+    # latency percentiles over the recent-request ring buffer, exposed as
+    # a summary (quantile-labelled gauges — a true histogram would need
+    # fixed buckets chosen before the model's batch curve is known)
+    lines.append("# HELP protoasnet_request_latency_ms request latency "
+                 "summary over the last 4096 requests")
+    lines.append("# TYPE protoasnet_request_latency_ms summary")
+    for q, key in (("0.5", "latency_ms_p50"), ("0.95", "latency_ms_p95"),
+                   ("0.99", "latency_ms_p99")):
+        v = snapshot.get(key)
+        if v is not None:
+            lines.append(f'protoasnet_request_latency_ms{{quantile="{q}"}} '
+                         f"{v}")
+    lines.append("# HELP protoasnet_batches_by_bucket_total device batches "
+                 "per bucket size")
+    lines.append("# TYPE protoasnet_batches_by_bucket_total counter")
+    for bucket, count in snapshot["bucket_counts"].items():
+        lines.append(f'protoasnet_batches_by_bucket_total{{bucket="{bucket}"}}'
+                     f" {count}")
+    return "\n".join(lines) + "\n"
 
 
 def _bucket_ladder(max_batch: int) -> Tuple[int, ...]:
@@ -475,6 +531,11 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
             elif self.path == "/v1/stats":
                 self._send(200, json.dumps(
                     batcher.stats.snapshot()).encode(), "application/json")
+            elif self.path == "/metrics":
+                body = prometheus_text(batcher.stats.snapshot(),
+                                       batcher.healthy).encode()
+                self._send(200, body,
+                           "text/plain; version=0.0.4; charset=utf-8")
             elif self.path == "/v1/spec":
                 # input contract discovery (client.ServingClient): lets a
                 # client validate/encode locally (esp. uint8 daemons) and

@@ -236,6 +236,58 @@ def test_http_predict_health_stats(http_server):
     assert snap["samples"] == 4 and snap["latency_ms_p50"] is not None
 
 
+def test_prometheus_text_format():
+    from protoasnet_tpu.server import prometheus_text
+
+    snap = {"requests": 7, "samples": 21, "batches": 3, "mean_batch": 7.0,
+            "padding_frac": 0.125, "errors": 1, "abandoned": 2,
+            "bucket_counts": {"8": 2, "16": 1},
+            "latency_ms_p50": 1.5, "latency_ms_p95": 3.25,
+            "latency_ms_p99": 9.0}
+    text = prometheus_text(snap, healthy=True)
+    lines = text.splitlines()
+    assert "protoasnet_healthy 1" in lines
+    assert "protoasnet_requests_total 7" in lines
+    assert "protoasnet_samples_total 21" in lines
+    assert "protoasnet_errors_total 1" in lines
+    assert "protoasnet_abandoned_total 2" in lines
+    assert "protoasnet_padding_fraction 0.125" in lines
+    assert "protoasnet_mean_batch_size 7.0" in lines
+    # quantile keys map p50/p95/p99 -> 0.5/0.95/0.99 labels
+    assert 'protoasnet_request_latency_ms{quantile="0.5"} 1.5' in lines
+    assert 'protoasnet_request_latency_ms{quantile="0.95"} 3.25' in lines
+    assert 'protoasnet_request_latency_ms{quantile="0.99"} 9.0' in lines
+    assert 'protoasnet_batches_by_bucket_total{bucket="8"} 2' in lines
+    assert 'protoasnet_batches_by_bucket_total{bucket="16"} 1' in lines
+    # every sample line's metric name is TYPE-declared (scrape validity)
+    declared = {ln.split()[2] for ln in lines if ln.startswith("# TYPE")}
+    for ln in lines:
+        if not ln.startswith("#"):
+            assert ln.split("{")[0].split(" ")[0] in declared
+    # fresh daemon: no latency samples yet, unhealthy, metric lines absent
+    empty = prometheus_text(
+        {"requests": 0, "samples": 0, "batches": 0, "mean_batch": None,
+         "padding_frac": 0.0, "errors": 0, "abandoned": 0,
+         "bucket_counts": {}, "latency_ms_p50": None,
+         "latency_ms_p95": None, "latency_ms_p99": None}, healthy=False)
+    assert "protoasnet_healthy 0" in empty.splitlines()
+    assert "quantile=" not in empty and "mean_batch_size 0" not in empty
+
+
+def test_http_metrics_endpoint(http_server):
+    url, _ = http_server
+    x = np.random.default_rng(0).normal(size=(3, 4, 4)).astype(np.float32)
+    _post_npy(url + "/v1/predict", x)
+    with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    lines = body.splitlines()
+    assert "protoasnet_healthy 1" in lines
+    assert "protoasnet_samples_total 3" in lines
+    assert any(ln.startswith("protoasnet_request_latency_ms{quantile=")
+               for ln in lines)
+
+
 def test_http_request_over_max_batch_is_chunked(http_server):
     url, batcher = http_server
     x = np.ones((19, 4, 4), np.float32)  # > max_batch=8 -> 3 chunks
