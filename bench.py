@@ -134,6 +134,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent XLA cache: compile time is never part of the two-point
+    # throughput fits, and a repeat bench run skips the cold flagship
+    # compile (measured 825 s through the relay on 2026-08-19).
+    from protoasnet_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from protoasnet_tpu.models.builder import build_model, init_model
 
     dev = jax.devices()[0]
@@ -476,6 +483,9 @@ def _suite_benches(args, rng):
                     "sampler": "random", "augmentation": False,
                     "normalize": True, "img_size": 112, "frames": 32,
                     "batch_size": 8, "iterate_intervals": False,
+                    # flagship default: push rides the serving batch (1.34x
+                    # vs 32 measured, experiments/push_batch_ab.py)
+                    "eval_batch_size": 128,
                     "interval_unit": "image", "interval_quant": 32.0}
             return get_as_dataloader(dcfg, "train", "push", seed=0)
 
@@ -488,7 +498,9 @@ def _suite_benches(args, rng):
                             replace_prototypes=True)
             return _time.time() - t0
 
-        small, big = make_loader(40, "s"), make_loader(120, "b")
+        # sets sized so batch 128 amortizes (128 = 1 full batch, 384 = 3;
+        # the old 40/120 sets would spend most of a 128-batch on padding)
+        small, big = make_loader(128, "s"), make_loader(384, "b")
         n_s, n_b = len(small.dataset), len(big.dataset)
         run_push(small)  # warm: push_forward + carry-update compiles
         dt_s = run_push(small)
