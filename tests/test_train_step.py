@@ -70,6 +70,7 @@ def test_train_step_decreases_loss(setup):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+@pytest.mark.slow
 def test_combined_transform_pass_matches_two_pass(setup):
     """The combined 2N-batch TransformLoss forward (one vmapped backbone
     dispatch with per-half BN stats) must reproduce the two-pass path:
@@ -77,7 +78,12 @@ def test_combined_transform_pass_matches_two_pass(setup):
     BN running stats (transformed half's stats discarded). Gradients are
     compared (not post-Adam params): Adam's first step amplifies any
     near-zero fp32 grad difference to a full ±lr sign flip — the same
-    noise floor the float64 trajectory suite exists to avoid."""
+    noise floor the float64 trajectory suite exists to avoid.
+
+    slow-marked (fast-suite budget, Makefile): ~20 s — the two-pass
+    loss_fn compile exists only for this comparison, and the stricter
+    float64 twin (test_combined_transform_grads_float64) plus the
+    trajectory suite already pin the equivalence in the full run."""
     from protoasnet_tpu.train.steps import make_xprotonet_loss_fn
 
     model, state, _ = setup
