@@ -27,7 +27,42 @@ from protoasnet_tpu.tracking import make_tracker
 from protoasnet_tpu.train.metrics import EpochMetrics
 from protoasnet_tpu.utils.io import load_checkpoint, save_checkpoint
 
-__all__ = ["BaseAgent"]
+__all__ = ["BaseAgent", "resolve_loader_batch_sizes"]
+
+
+def resolve_loader_batch_sizes(dl_cfg: Dict[str, Any],
+                               train_cfg: Dict[str, Any],
+                               num_devices: int) -> Dict[str, Any]:
+    """Resolve train/eval/push batch sizes onto ``dl_cfg``, in place.
+
+    Batches shard over the mesh, so every size is rounded up to a device
+    multiple (padding rows carry valid=False and are masked everywhere).
+    eval_batch_size is touched only when one is actually in play — an
+    explicit config value, or image mode's reference eval-150 default
+    (dataset.py): unconditionally inserting the rounded default used to
+    silently flip VIDEO eval to batch 152 on multi-device meshes once
+    video eval started honoring eval_batch_size — on the 8-virtual-device
+    CPU test mesh that meant a half-hour batch-152 eval compile in the
+    agent suite, and a parity break (video eval defaults to the train
+    batch, MIGRATION.md §2). push follows get_as_dataloader's precedence
+    (push_batch_size > eval_batch_size > max(batch, 32) — push is
+    forward-only and rides the serving batch, measured 1.34x at 128,
+    experiments/push_batch_ab.py).
+    """
+    nd = num_devices
+    bsz = int(train_cfg.get("batch_size", dl_cfg.get("batch_size", 8)))
+    if bsz % nd:
+        bsz = -(-bsz // nd) * nd
+        logging.info(f"batch_size rounded up to {bsz} for {nd}-device mesh")
+    dl_cfg["batch_size"] = bsz
+    if "eval_batch_size" in dl_cfg or int(dl_cfg.get("frames", 32)) == 1:
+        ebsz = int(dl_cfg.get("eval_batch_size", 150))
+        if ebsz % nd:
+            dl_cfg["eval_batch_size"] = -(-ebsz // nd) * nd
+    pbsz = int(dl_cfg.get("push_batch_size")
+               or dl_cfg.get("eval_batch_size") or max(bsz, 32))
+    dl_cfg["push_batch_size"] = -(-pbsz // nd) * nd
+    return dl_cfg
 
 
 class BaseAgent:
@@ -71,20 +106,8 @@ class BaseAgent:
         # data
         self._store_cache: Dict[str, Any] = {}
         seed = int(self.train_config.get("seed", 0))
-        dl_cfg = dict(self.data_config)
-        bsz = int(self.train_config.get("batch_size", dl_cfg.get("batch_size", 8)))
-        # batches shard over the mesh: round up to a device multiple
-        # (padding rows carry valid=False and are masked out everywhere)
-        nd = self.num_devices
-        if bsz % nd:
-            bsz = -(-bsz // nd) * nd
-            logging.info(f"batch_size rounded up to {bsz} for {nd}-device mesh")
-        dl_cfg["batch_size"] = bsz
-        ebsz = int(dl_cfg.get("eval_batch_size", 150))
-        if ebsz % nd:
-            dl_cfg["eval_batch_size"] = -(-ebsz // nd) * nd
-        pbsz = int(dl_cfg.get("push_batch_size") or max(bsz, 32))
-        dl_cfg["push_batch_size"] = -(-pbsz // nd) * nd
+        dl_cfg = resolve_loader_batch_sizes(
+            dict(self.data_config), self.train_config, self.num_devices)
         self.data_loaders = {
             "train": get_as_dataloader(dl_cfg, "train", "train", seed,
                                        self._store_cache),

@@ -100,6 +100,37 @@ def test_video_eval_batch_override(synthetic_csv):
     assert seen == len(m.intervals)
 
 
+def test_resolve_loader_batch_sizes():
+    """Agent-level batch resolution (train/agents/base.py): device-multiple
+    rounding, the video-eval parity default, and push precedence. Guards
+    the regression where the rounded eval-150 IMAGE default leaked into
+    VIDEO eval on multi-device meshes (batch-152 eval compiles in the
+    agent suite; video eval must default to the train batch)."""
+    from protoasnet_tpu.train.agents.base import resolve_loader_batch_sizes
+
+    # video, no eval_batch_size, 8-dev mesh: NO eval size is inserted
+    cfg = resolve_loader_batch_sizes(
+        {"frames": 8, "img_size": 32}, {"batch_size": 3}, 8)
+    assert cfg["batch_size"] == 8  # 3 rounded up to the mesh
+    assert "eval_batch_size" not in cfg
+    assert cfg["push_batch_size"] == 32  # max(batch, 32), already a multiple
+    # explicit eval_batch_size: rounded, and push rides it
+    cfg = resolve_loader_batch_sizes(
+        {"frames": 8, "eval_batch_size": 130}, {"batch_size": 8}, 8)
+    assert cfg["eval_batch_size"] == 136 and cfg["push_batch_size"] == 136
+    # explicit push_batch_size wins over eval_batch_size
+    cfg = resolve_loader_batch_sizes(
+        {"frames": 8, "eval_batch_size": 128, "push_batch_size": 48},
+        {"batch_size": 8}, 8)
+    assert cfg["push_batch_size"] == 48 and cfg["eval_batch_size"] == 128
+    # image mode without explicit size: the reference eval-150 default IS
+    # rounded for the mesh (dataset.py applies 150 when absent)
+    cfg = resolve_loader_batch_sizes({"frames": 1}, {"batch_size": 8}, 8)
+    assert cfg["eval_batch_size"] == 152
+    cfg = resolve_loader_batch_sizes({"frames": 1}, {"batch_size": 8}, 1)
+    assert "eval_batch_size" not in cfg  # 150 % 1 == 0: nothing to round
+
+
 def test_image_mode_squeezes_time(synthetic_csv):
     cfg = _data_config(synthetic_csv, frames=1)
     cfg["interval_unit"] = "image"
