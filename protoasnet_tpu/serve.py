@@ -295,6 +295,91 @@ def _predict_cmd(args) -> None:
         print(f"{i}: class {k} p={p[k]:.3f}")
 
 
+def _tune_cmd(args) -> None:
+    """Sweep candidate serving batch sizes on the attached device and
+    recommend ``--max_batch`` for the daemon.
+
+    The right serving batch is hardware-specific (128 on a v5e-1 chip,
+    BASELINE.md; bigger on pods, smaller on CPU dev hosts), so deployment
+    needs a measurement, not a constant. Methodology is bench.py's: each
+    candidate runs N forwards of the exported call chained inside ONE
+    jitted fori_loop with a data dependence (a logits-derived zero is
+    folded back into the input, so nothing can be elided and host
+    round-trip costs cancel in a two-point fit over N). OOM at a
+    candidate is recorded, not fatal.
+    """
+    import time
+
+    fn, shape, dtype = load_serving_bundle_with_spec(args.bundle)
+    assert shape[0] is None or len(shape) >= 2
+    sample_shape = shape[1:]
+    rng = np.random.default_rng(0)
+    results: dict = {}
+    candidates = [int(b) for b in args.batches.split(",")]
+
+    for b in candidates:
+        full = (b,) + sample_shape
+        if np.dtype(dtype) == np.uint8:
+            x0 = rng.integers(0, 256, size=full).astype(np.uint8)
+        else:
+            x0 = rng.normal(size=full).astype(np.float32)
+
+        def chained(x, n):
+            def body(i, xc):
+                logits = fn(xc)
+                # data-dependent zero: `sum > inf` is always False but not
+                # statically foldable, so the next iteration really waits
+                # on this one's logits (dtype-safe for uint8 wires too)
+                bump = (logits.sum() > jnp.inf).astype(xc.dtype)
+                return xc + bump
+            return jax.lax.fori_loop(0, n, body, x)
+
+        chained = jax.jit(chained)
+        try:
+            t0 = time.time()
+            np.asarray(chained(jnp.asarray(x0.astype(dtype)), 1))[(0,) * len(full)]
+            compile_s = time.time() - t0
+        except Exception as e:  # noqa: BLE001 — OOM/unsupported candidate
+            results[b] = {"error": type(e).__name__}
+            print(f"batch {b:4d}: FAILED ({type(e).__name__})", flush=True)
+            continue
+
+        def run(n):
+            t0 = time.time()
+            np.asarray(chained(jnp.asarray(x0.astype(dtype)),
+                               n))[(0,) * len(full)]
+            return time.time() - t0
+
+        n1, n2 = args.points
+        ta, tb = run(n1), run(n2)
+        # clock-resolution floor: a degenerate fit (tiny model, warm
+        # cache) must not divide by zero
+        per = max((tb - ta) / (n2 - n1), 1e-9)
+        results[b] = {"ms_per_batch": round(per * 1000, 2),
+                      "samples_per_sec": round(b / per, 1),
+                      "compile_s": round(compile_s, 1)}
+        print(f"batch {b:4d}: {b / per:8.1f} samples/s "
+              f"({per * 1000:7.2f} ms/batch, compile {compile_s:.1f}s)",
+              flush=True)
+
+    ok = {b: r for b, r in results.items() if "samples_per_sec" in r}
+    if ok:
+        best = max(ok, key=lambda b: ok[b]["samples_per_sec"])
+        # prefer the smallest batch within 5% of the best rate: it halves
+        # p50 latency at low load for ~nothing (128 keeps 96% of the
+        # batch-256 ceiling on v5e, BASELINE.md)
+        thresh = 0.95 * ok[best]["samples_per_sec"]
+        pick = min(b for b in ok if ok[b]["samples_per_sec"] >= thresh)
+        print(f"recommended: --max_batch {pick}"
+              + (f" (peak rate at {best}, within 5%)" if pick != best else ""))
+    else:
+        pick = None
+        print("no candidate succeeded")
+    import json as _json
+
+    print(_json.dumps({"results": results, "recommended_max_batch": pick}))
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -317,6 +402,17 @@ def main(argv=None) -> None:
     pr.add_argument("--out", default=None)
     pr.add_argument("--batch", type=int, default=128)
     pr.set_defaults(fn=_predict_cmd)
+    tn = sub.add_parser("tune", help="sweep serving batch sizes on the "
+                                     "attached device; recommends "
+                                     "--max_batch for the daemon")
+    tn.add_argument("--bundle", required=True)
+    tn.add_argument("--batches", default="16,32,64,128,256",
+                    help="comma-separated candidate batch sizes")
+    tn.add_argument("--points", type=int, nargs=2, default=(4, 20),
+                    metavar=("N1", "N2"),
+                    help="two-point-fit loop lengths (>=16 apart so the "
+                         "signal beats per-call jitter on relay hosts)")
+    tn.set_defaults(fn=_tune_cmd)
     args = ap.parse_args(argv)
     # Persistent XLA cache (utils/run.py): export re-runs and repeated
     # bundle predicts skip recompiles.

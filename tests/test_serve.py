@@ -78,6 +78,30 @@ def test_serve_cli_predict(tmp_path, capsys, small_model, fwd):
     assert "class" in capsys.readouterr().out
 
 
+def test_serve_cli_tune(tmp_path, capsys, small_model):
+    """python -m protoasnet_tpu.serve tune: sweeps candidate batches over
+    the exported call (chained in one jitted fori_loop) and recommends a
+    --max_batch. Functional check on CPU — rates are meaningless here,
+    but the chaining must trace, every candidate must report, and the
+    recommendation must be one of the surviving candidates."""
+    import json as _json
+
+    from protoasnet_tpu.serve import main
+
+    model, params, stats = small_model
+    bundle = str(tmp_path / "m.bundle")
+    save_serving_bundle(bundle, model, params, stats, (32, 32, 3))
+    main(["tune", "--bundle", bundle, "--batches", "2,4",
+          "--points", "1", "3"])
+    out = capsys.readouterr().out
+    report = _json.loads(out.strip().splitlines()[-1])
+    assert set(report["results"]) == {"2", "4"} or \
+        set(report["results"]) == {2, 4}
+    assert all("samples_per_sec" in r for r in report["results"].values())
+    assert report["recommended_max_batch"] in (2, 4)
+    assert "--max_batch" in out
+
+
 def test_sharded_serving_matches_single_device(small_model, fwd):
     """Data-parallel serving over the 8-device mesh: same logits as the
     plain forward, batch and logits sharded over 'data', no collectives
