@@ -211,6 +211,38 @@ def main():
         f"{fwd_flops * infer_cps / 1e12:.1f} TF/s = "
         f"{result['infer_mfu'] * 100:.1f}% of {mfu_dtype} peak")
 
+    # Serving path: weights bound as COMPILE-TIME CONSTANTS — what both
+    # the exported-bundle daemon and serve_live actually run. Constant
+    # weights let XLA prepack conv kernel layouts per call: measured
+    # +30% over the weights-as-args row above, same session
+    # (experiments/const_weights_ab.py). The args row stays the
+    # cross-round-comparable `infer` number; this is the serving one.
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+    @jax.jit
+    def chained_const(xb, n):
+        def body(i, xc):
+            logits = model.apply(host_vars, xc, train=False)[0]
+            return xc + 1e-6 * logits.sum()
+        return jax.lax.fori_loop(0, n, body, xb).sum()
+
+    t0 = time.time()
+    float(chained_const(x, 1))
+    log(f"compile(serving const fwd): {time.time() - t0:.1f}s")
+
+    def run_c(n):
+        t0 = time.time()
+        float(chained_const(x, n))
+        return time.time() - t0
+
+    tc1, tc2 = run_c(n1), run_c(n2)
+    per_c = (tc2 - tc1) / (n2 - n1)
+    result["serving_clips_per_sec"] = b / per_c
+    result["serving_mfu"] = mfu(fwd_flops, b / per_c, mfu_dtype)
+    log(f"serving (const weights): {b / per_c:.2f} clips/s "
+        f"({per_fwd / per_c:.2f}x vs args; "
+        f"{result['serving_mfu'] * 100:.1f}% of {mfu_dtype} peak)")
+
     if args.int8:
         # w8a8 serving path (quant.py): int8 backbone convs on the MXU.
         # Logit cosine vs bf16 ~0.999999 (experiments/int8_serving_ab.py).

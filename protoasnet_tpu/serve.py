@@ -33,7 +33,7 @@ __all__ = ["export_inference", "load_exported", "save_serving_bundle",
 
 
 def make_sharded_serving_fn(model, mesh, qstate=None,
-                            uint8_gray: bool = False):
+                            uint8_gray: bool = False, variables=None):
     """Data-parallel serving across a device mesh.
 
     Returns ``fn(variables, x) -> logits`` jitted with the batch sharded
@@ -44,6 +44,16 @@ def make_sharded_serving_fn(model, mesh, qstate=None,
     connected chips. Feed inputs placed with ``parallel.shard_batch`` (or
     any (b, ...) array — jit reshards automatically); the per-chip batch
     should sit at each chip's serving sweet spot (128 on v5e, BASELINE).
+
+    With ``variables`` given, the weight pytree is bound as COMPILE-TIME
+    CONSTANTS and the returned fn takes only ``x``. Serving weights are
+    frozen, and constant weights let XLA prepack conv kernel layouts at
+    compile time instead of per call: measured **636.6 → 825.2 clips/s
+    (+30%)** on the bf16 video flagship at batch 128 on v5e, same
+    session (`experiments/const_weights_ab.py`; a host-side bf16 pre-cast
+    changes nothing — the win is layout prepacking, not the cast). The
+    exported-bundle path gets this for free (load_serving_bundle closes
+    weights over); pass ``variables`` here so live serving matches it.
 
     The single-artifact export path (export_inference) stays single-chip;
     this is the in-process multi-chip path used by a serving host that
@@ -75,8 +85,15 @@ def make_sharded_serving_fn(model, mesh, qstate=None,
             xf = jnp.broadcast_to(xf[..., None], xf.shape + (3,))
             return inner(variables, xf)
 
-    return jax.jit(forward, in_shardings=(repl, batch_sh),
-                   out_shardings=batch_sh)
+    if variables is None:
+        return jax.jit(forward, in_shardings=(repl, batch_sh),
+                       out_shardings=batch_sh)
+    # host numpy so jit traces the weights as literals (device arrays
+    # would also lift as consts, but numpy matches the bundle path's
+    # measured behavior exactly)
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    return jax.jit(lambda x: forward(host_vars, x),
+                   in_shardings=(batch_sh,), out_shardings=batch_sh)
 
 
 def export_inference(model, params, batch_stats, input_shape: Sequence[int],
@@ -332,12 +349,17 @@ def _tune_cmd(args) -> None:
                 # on this one's logits (dtype-safe for uint8 wires too)
                 bump = (logits.sum() > jnp.inf).astype(xc.dtype)
                 return xc + bump
-            return jax.lax.fori_loop(0, n, body, x)
+            out = jax.lax.fori_loop(0, n, body, x)
+            # scalar readback: returning the x-shaped carry would drag the
+            # whole batch back over the host link every measurement
+            # (hundreds of MB through a relay), drowning the fit
+            return out.reshape(-1)[0].astype(jnp.float32)
 
         chained = jax.jit(chained)
+        xd = jnp.asarray(x0.astype(dtype))
         try:
             t0 = time.time()
-            np.asarray(chained(jnp.asarray(x0.astype(dtype)), 1))[(0,) * len(full)]
+            float(chained(xd, 1))
             compile_s = time.time() - t0
         except Exception as e:  # noqa: BLE001 — OOM/unsupported candidate
             results[b] = {"error": type(e).__name__}
@@ -346,15 +368,21 @@ def _tune_cmd(args) -> None:
 
         def run(n):
             t0 = time.time()
-            np.asarray(chained(jnp.asarray(x0.astype(dtype)),
-                               n))[(0,) * len(full)]
+            float(chained(xd, n))
             return time.time() - t0
 
         n1, n2 = args.points
         ta, tb = run(n1), run(n2)
-        # clock-resolution floor: a degenerate fit (tiny model, warm
-        # cache) must not divide by zero
-        per = max((tb - ta) / (n2 - n1), 1e-9)
+        per = (tb - ta) / (n2 - n1)
+        if per <= 0:
+            # jitter beat the signal: a valid marginal is never <= 0.
+            # Re-run with wider points rather than report nonsense.
+            results[b] = {"error": "degenerate fit — timing jitter beat "
+                                   f"the {n2 - n1}-batch signal; rerun "
+                                   "with wider --points"}
+            print(f"batch {b:4d}: DEGENERATE FIT (ta={ta:.2f}s "
+                  f"tb={tb:.2f}s); widen --points", flush=True)
+            continue
         results[b] = {"ms_per_batch": round(per * 1000, 2),
                       "samples_per_sec": round(b / per, 1),
                       "compile_s": round(compile_s, 1)}

@@ -716,14 +716,17 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
 
         qstate = calibrate_qstate_from_agent(agent, calib_batches)
 
-    sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
-                                      uint8_gray=uint8_input)
     base = {"params": agent.params, "batch_stats": agent.batch_stats}
     variables = {"variables": base, "qstate": qstate} if qstate is not None \
         else base
+    # weights bound as compile-time constants: +30% serving throughput
+    # measured on chip (serve.make_sharded_serving_fn docstring)
+    sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
+                                      uint8_gray=uint8_input,
+                                      variables=variables)
 
     def fn(x):
-        return np.asarray(sharded(variables, x), np.float32)
+        return np.asarray(sharded(x), np.float32)
 
     sample_shape = input_shape[:-1] if uint8_input else input_shape
     dtype = np.uint8 if uint8_input else np.float32

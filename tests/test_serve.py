@@ -92,7 +92,7 @@ def test_serve_cli_tune(tmp_path, capsys, small_model):
     bundle = str(tmp_path / "m.bundle")
     save_serving_bundle(bundle, model, params, stats, (32, 32, 3))
     main(["tune", "--bundle", bundle, "--batches", "2,4",
-          "--points", "1", "3"])
+          "--points", "2", "10"])
     out = capsys.readouterr().out
     report = _json.loads(out.strip().splitlines()[-1])
     assert set(report["results"]) == {"2", "4"} or \
@@ -121,6 +121,13 @@ def test_sharded_serving_matches_single_device(small_model, fwd):
     assert got.sharding.spec == batch_sharding(mesh).spec
     want = np.asarray(fwd(variables, x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # const-weights variant (the serve_live path, +30% measured on chip):
+    # same logits, weights baked, fn takes only x
+    fn_const = make_sharded_serving_fn(model, mesh, variables=variables)
+    got_const = fn_const(xs)
+    assert got_const.sharding.spec == batch_sharding(mesh).spec
+    np.testing.assert_allclose(np.asarray(got_const), want,
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_quantized_bundle_roundtrip(tmp_path, small_model):
