@@ -279,6 +279,34 @@ def main():
             f"({per_fwd / per_q:.2f}x vs bf16; "
             f"{result['infer_mfu_int8'] * 100:.1f}% of int8 peak)")
 
+        # int8 serving path: weights AND qstate as compile-time constants
+        # (what serve_live --int8 / exported int8 bundles run). Measured
+        # +5.4% over the args row (experiments/const_weights_ab.py).
+        host_q = jax.tree_util.tree_map(np.asarray, qstate)
+
+        @jax.jit
+        def chained_qc(xb, n):
+            def body(i, xc):
+                logits = apply_quantized(model, host_vars, host_q, xc)[0]
+                return xc + 1e-6 * logits.sum()
+            return jax.lax.fori_loop(0, n, body, xb).sum()
+
+        t0 = time.time()
+        float(chained_qc(x, 1))
+        log(f"compile(int8 serving const fwd): {time.time() - t0:.1f}s")
+
+        def run_qc(n):
+            t0 = time.time()
+            float(chained_qc(x, n))
+            return time.time() - t0
+
+        tqc1, tqc2 = run_qc(n1), run_qc(n2)
+        per_qc = (tqc2 - tqc1) / (n2 - n1)
+        result["serving_clips_per_sec_int8"] = b / per_qc
+        result["serving_mfu_int8"] = mfu(fwd_flops, b / per_qc, "int8")
+        log(f"int8 serving (const weights): {b / per_qc:.2f} clips/s "
+            f"({result['serving_mfu_int8'] * 100:.1f}% of int8 peak)")
+
     if args.train:
         from protoasnet_tpu.losses.bundle import LossBundle
         from protoasnet_tpu.train.optim import GROUPS, make_adam
