@@ -8,7 +8,12 @@ sweep measures the pure compute ceiling of the flagship video model at
 batches past the staging limit.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python \
-       experiments/serving_batch_sweep.py [--fp32]
+       experiments/serving_batch_sweep.py [--fp32] [--const]
+
+--const binds the weight pytree as jit compile-time constants (the
+shipped serving path since the const-weights A/B, serve.py:35-97) —
+re-checks whether the +29% layout-prepacking win moves the batch
+optimum.
 
 MEASURED RESULTS: see bottom.
 """
@@ -33,26 +38,47 @@ def main():
     params, stats = init_model(model, jnp.zeros((1, 32, 112, 112, 3)),
                                seed=0)
     variables = {"params": params, "batch_stats": stats}
-    print(f"device={jax.devices()[0].platform} dtype={dt}", flush=True)
+    const = "--const" in sys.argv
+    if const:
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    print(f"device={jax.devices()[0].platform} dtype={dt} const={const}",
+          flush=True)
 
     for b in (64, 128, 192, 256, 384):
-        @jax.jit
-        def chained(v, key, n, b=b):
-            x = jax.random.normal(key, (b, 32, 112, 112, 3), jnp.float32)
+        if const:
+            @jax.jit
+            def chained(key, n, b=b):
+                x = jax.random.normal(key, (b, 32, 112, 112, 3),
+                                      jnp.float32)
 
-            def body(i, xc):
-                logits = model.apply(v, xc, train=False)[0]
-                return xc + 1e-6 * logits.sum()
-            return jax.lax.fori_loop(0, n, body, x).sum()
+                def body(i, xc):
+                    logits = model.apply(host_vars, xc, train=False)[0]
+                    return xc + 1e-6 * logits.sum()
+                return jax.lax.fori_loop(0, n, body, x).sum()
+
+            call = chained
+        else:
+            @jax.jit
+            def chained(v, key, n, b=b):
+                x = jax.random.normal(key, (b, 32, 112, 112, 3),
+                                      jnp.float32)
+
+                def body(i, xc):
+                    logits = model.apply(v, xc, train=False)[0]
+                    return xc + 1e-6 * logits.sum()
+                return jax.lax.fori_loop(0, n, body, x).sum()
+
+            def call(key, n):
+                return chained(variables, key, n)
 
         try:
             key = jax.random.PRNGKey(0)
             t0 = time.time()
-            float(chained(variables, key, 1))
+            float(call(key, 1))
             compile_s = time.time() - t0
-            t0 = time.time(); float(chained(variables, key, 3))
+            t0 = time.time(); float(call(key, 3))
             t3 = time.time() - t0
-            t0 = time.time(); float(chained(variables, key, 13))
+            t0 = time.time(); float(call(key, 13))
             t13 = time.time() - t0
             ms = (t13 - t3) / 10 * 1000
             print(f"batch {b:4d}: {b / ms * 1000:7.1f} clips/s "
@@ -81,3 +107,16 @@ if __name__ == "__main__":
 # keeps 96% of it and is the largest input the relay can stage in bounded
 # time, so it remains the shipped default. On a PCIe-attached host with
 # uint8 staging, batch 256 would be the serving sweet spot.
+#
+# --const (weights as compile-time constants, the shipped serving path,
+# 2026-08-19):
+#
+#   batch  64:  549.7 clips/s
+#   batch 128:  823.6 clips/s   <- shipped serving config (96% of ceiling)
+#   batch 192:  663.6 clips/s   (same 1.5x-128 tiling misfit as args mode)
+#   batch 256:  860.6 clips/s   <- const-weights compute ceiling (+4.5%)
+#   batch 384:  OOM (21.3 GB HLO temp vs 15.75 GB hbm)
+#
+# Reading: the const-weights layout-prepacking win holds across batches
+# (+29% at 128, +30% at 256) and does NOT move the optimum: 256 peaks,
+# 128 keeps 96% of it with half the latency and remains the default.
