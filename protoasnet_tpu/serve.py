@@ -328,6 +328,13 @@ def _tune_cmd(args) -> None:
     """
     import time
 
+    n1, n2 = args.points
+    if n2 <= n1 or n1 < 1:
+        raise SystemExit(
+            f"--points must be two increasing call counts >= 1 "
+            f"(got {n1} {n2}); the two-point fit divides by their gap — "
+            f"keep them >= 16 apart so relay jitter cancels")
+
     fn, shape, dtype = load_serving_bundle_with_spec(args.bundle)
     assert shape[0] is None or len(shape) >= 2
     sample_shape = shape[1:]
@@ -372,7 +379,6 @@ def _tune_cmd(args) -> None:
             float(chained(xd, n))
             return time.time() - t0
 
-        n1, n2 = args.points
         ta, tb = run(n1), run(n2)
         per = (tb - ta) / (n2 - n1)
         if per <= 0:

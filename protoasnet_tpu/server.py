@@ -30,6 +30,8 @@ Usage:
     # GET  /healthz      liveness
     # GET  /v1/stats     batching/latency counters (JSON)
     # GET  /metrics      the same counters in Prometheus text format
+    # POST /v1/reload    {"target": <path>} — hot-swap weights (--allow_reload)
+    # GET  /v1/reload    reload state machine status (JSON)
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["DynamicBatcher", "BatcherStats", "make_handler", "serve_forever",
-           "serve_live", "prometheus_text"]
+           "serve_live", "prometheus_text", "Reloader"]
 
 
 def prometheus_text(snapshot: dict, healthy: bool) -> str:
@@ -93,6 +95,12 @@ def prometheus_text(snapshot: dict, healthy: bool) -> str:
         if v is not None:
             lines.append(f'protoasnet_request_latency_ms{{quantile="{q}"}} '
                          f"{v}")
+    # _count/_sum: quantiles are over the 4096-deep ring, but count/sum are
+    # exact running totals — required by strict OpenMetrics summary parsers
+    lines.append("protoasnet_request_latency_ms_count "
+                 f"{snapshot.get('latency_ms_count', 0)}")
+    lines.append("protoasnet_request_latency_ms_sum "
+                 f"{snapshot.get('latency_ms_sum', 0.0)}")
     lines.append("# HELP protoasnet_batches_by_bucket_total device batches "
                  "per bucket size")
     lines.append("# TYPE protoasnet_batches_by_bucket_total counter")
@@ -126,6 +134,11 @@ class BatcherStats:
         self.abandoned = 0  # timed-out requests dropped before compute
         self.bucket_counts: dict = {}
         self._lat_ms: List[float] = []  # ring buffer of request latencies
+        # running totals over ALL requests (not just the ring) so the
+        # Prometheus summary can emit the _count/_sum series strict
+        # OpenMetrics parsers require alongside the quantile samples
+        self.lat_count = 0
+        self.lat_sum_ms = 0.0
 
     def record_batch(self, n_real: int, bucket: int, lat_ms: Sequence[float]):
         with self._lock:
@@ -133,6 +146,8 @@ class BatcherStats:
             self.samples += n_real
             self.padded_samples += bucket - n_real
             self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
+            self.lat_count += len(lat_ms)
+            self.lat_sum_ms += float(sum(lat_ms))
             self._lat_ms.extend(lat_ms)
             if len(self._lat_ms) > 4096:
                 self._lat_ms = self._lat_ms[-4096:]
@@ -169,6 +184,8 @@ class BatcherStats:
                 "latency_ms_p50": pct(0.50),
                 "latency_ms_p95": pct(0.95),
                 "latency_ms_p99": pct(0.99),
+                "latency_ms_count": self.lat_count,
+                "latency_ms_sum": round(self.lat_sum_ms, 3),
             }
 
 
@@ -451,6 +468,119 @@ class DynamicBatcher:
                     p.event.set()
 
 
+class Reloader:
+    """Hot-swap the batcher's model function without dropping traffic.
+
+    The reference's only path to new weights is retrain-and-restart
+    (`main.py:48-57`); with const-weight serving (+30%, serve.py) a
+    restart costs the full warmup recompile with the daemon down. This
+    does the expensive work while the OLD weights keep serving:
+
+    - ``build(target, int8)`` (mode-specific closure from serve_live /
+      serve_forever) loads the new checkpoint/bundle and returns a
+      JITTED fn — no execution yet.
+    - the reloader thread then AOT-compiles every bucket via
+      ``jitted.lower(spec).compile()``. Lower/compile never dispatches a
+      device computation, so the batcher's single-dispatch-thread rule
+      (module docstring; CLAUDE.md loader rule) holds: the dispatch
+      thread stays the only thread *executing* on the device. (One
+      documented exception: an --int8 reload's calibration forwards run
+      on this thread and briefly contend with serving dispatch.)
+    - swap is one attribute store (``batcher.fn = new_fn``) — atomic
+      under the GIL, and the dispatch thread reads ``self.fn`` once per
+      flushed group, so every request is served entirely by one weight
+      set: old until the swap instant, new after. Nothing is dropped.
+
+    Path safety: the daemon binds 0.0.0.0 by default, so an unrestricted
+    reload endpoint would let any client point the server at arbitrary
+    filesystem paths. Reload is OFF unless the CLI passes
+    ``--allow_reload``, and targets must resolve (realpath, so symlinks
+    can't escape) under ``root`` — defaulting to the initial artifact's
+    parent directory.
+
+    One reload at a time (409 while busy); failures leave the old fn
+    serving and park the error in the status JSON (GET /v1/reload).
+    """
+
+    def __init__(self, batcher: DynamicBatcher, build: Callable, root: str,
+                 default_int8: bool = False):
+        import os
+
+        self.batcher = batcher
+        self.build = build  # (target, int8) -> (jitted_fn, sample_shape, dtype)
+        self.root = os.path.realpath(root)
+        self.default_int8 = bool(default_int8)
+        self.generation = 0  # completed swaps
+        self._lock = threading.Lock()
+        self._busy = False
+        self._state = {"generation": 0, "state": "idle", "target": None,
+                       "error": None}
+
+    def status(self) -> dict:
+        with self._lock:
+            return dict(self._state, root=self.root)
+
+    def request(self, target: str, int8=None) -> Tuple[int, dict]:
+        """Validate + kick off an async reload; returns (http_code, body)."""
+        import os
+
+        real = os.path.realpath(target)
+        if real != self.root and not real.startswith(self.root + os.sep):
+            return 400, {"error": f"target {target!r} resolves outside the "
+                                  f"reload root {self.root!r}"}
+        if not os.path.exists(real):
+            return 400, {"error": f"target {target!r} does not exist"}
+        with self._lock:
+            if self._busy:
+                return 409, dict(self._state, error="reload in progress")
+            self._busy = True
+            self._state = {"generation": self.generation, "state": "loading",
+                           "target": target, "error": None}
+        threading.Thread(target=self._work, args=(real, int8), daemon=True,
+                         name="reloader").start()
+        return 202, self.status()
+
+    def _work(self, target: str, int8) -> None:
+        try:
+            import jax
+
+            jitted, sample_shape, dtype = self.build(
+                target, self.default_int8 if int8 is None else bool(int8))
+            sample_shape = tuple(sample_shape)
+            if (sample_shape != self.batcher.sample_shape
+                    or np.dtype(dtype) != self.batcher.dtype):
+                # the input contract (published via /v1/spec, validated per
+                # request) is fixed for the daemon's lifetime — a different
+                # model geometry needs a new daemon, not a hot-swap
+                raise ValueError(
+                    f"new model input {sample_shape}/{np.dtype(dtype).name} "
+                    f"!= serving contract {self.batcher.sample_shape}/"
+                    f"{self.batcher.dtype.name}")
+            with self._lock:
+                self._state["state"] = "compiling"
+            compiled = {}
+            for b in self.batcher.buckets:
+                spec = jax.ShapeDtypeStruct((b, *sample_shape), dtype)
+                compiled[b] = jitted.lower(spec).compile()
+
+            def fn(x):
+                # the batcher always pads groups to a bucket size, so the
+                # exact-shape executable always exists
+                return np.asarray(compiled[len(x)](x), np.float32)
+
+            self.batcher.fn = fn  # THE swap: one atomic attribute store
+            with self._lock:
+                self.generation += 1
+                self._state.update(state="serving",
+                                   generation=self.generation)
+                self._busy = False
+        except BaseException as e:  # noqa: BLE001 — old weights keep serving
+            with self._lock:
+                self._state.update(state="error",
+                                   error=f"{type(e).__name__}: {e}")
+                self._busy = False
+
+
 # --- HTTP front end ---------------------------------------------------------
 
 
@@ -488,14 +618,17 @@ class _Inflight:
 
 def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                  timeout_s: float = 60.0,
-                 max_body_bytes: int = 256 << 20):
+                 max_body_bytes: int = 256 << 20,
+                 reloader: Optional[Reloader] = None):
     """BaseHTTPRequestHandler subclass bound to ``batcher``.
 
     sample_ndim: rank WITHOUT batch (4 for video (T,H,W,3), 3 for image).
     Accepts request bodies with or without the batch dim.
     max_body_bytes: reject larger payloads with 413 before reading them
     (the daemon binds 0.0.0.0 by default — an unbounded Content-Length
-    would let any client OOM the serving host)."""
+    would let any client OOM the serving host).
+    reloader: enables POST/GET /v1/reload weight hot-swap; None (default)
+    keeps the endpoint 403 (see Reloader's path-safety rationale)."""
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -529,8 +662,17 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                 else:
                     self._send(503, b"dispatch thread dead", "text/plain")
             elif self.path == "/v1/stats":
-                self._send(200, json.dumps(
-                    batcher.stats.snapshot()).encode(), "application/json")
+                snap = batcher.stats.snapshot()
+                if reloader is not None:
+                    snap["reload"] = reloader.status()
+                self._send(200, json.dumps(snap).encode(), "application/json")
+            elif self.path == "/v1/reload":
+                if reloader is None:
+                    self._send(403, b"reload disabled (start the daemon "
+                               b"with --allow_reload)", "text/plain")
+                else:
+                    self._send(200, json.dumps(
+                        reloader.status()).encode(), "application/json")
             elif self.path == "/metrics":
                 body = prometheus_text(batcher.stats.snapshot(),
                                        batcher.healthy).encode()
@@ -555,11 +697,39 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
+            if self.path == "/v1/reload":
+                self._do_reload()
+                return
             if self.path != "/v1/predict":
                 self._send(404, b"not found", "text/plain")
                 return
             with self.inflight:
                 self._do_predict()
+
+        def _do_reload(self):
+            if reloader is None:
+                self._send(403, b"reload disabled (start the daemon with "
+                           b"--allow_reload)", "text/plain")
+                return
+            cl = self.headers.get("Content-Length")
+            try:
+                n = int(cl) if cl is not None else -1
+            except ValueError:
+                n = -1
+            if not 0 <= n <= (64 << 10):  # control-plane body: tiny JSON
+                self.close_connection = True
+                self._send(400, b"Content-Length required (<= 64 KiB JSON)",
+                           "text/plain")
+                return
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+                target = body["target"]
+            except (ValueError, KeyError, TypeError) as e:
+                self._send(400, f'expected {{"target": <path>}} JSON: '
+                           f"{e!r}".encode(), "text/plain")
+                return
+            code, resp = reloader.request(str(target), body.get("int8"))
+            self._send(code, json.dumps(resp).encode(), "application/json")
 
         def _do_predict(self):
             try:
@@ -626,12 +796,16 @@ def make_handler(batcher: DynamicBatcher, sample_ndim: int,
 
 def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
                 max_delay_ms, warmup, ready_event, buckets=None,
-                banner="", stop_event=None):
+                banner="", stop_event=None, reload_build=None,
+                reload_root=None, reload_int8=False):
     """ready_event (optional): set once the socket is bound; the bound
     port is published as ``ready_event.port`` (useful with port=0).
     stop_event (optional): setting it shuts the server down cleanly —
     the test/embedding hook, since serve_forever() otherwise only exits
-    on KeyboardInterrupt."""
+    on KeyboardInterrupt.
+    reload_build (optional): mode-specific ``(target, int8) -> (jitted,
+    sample_shape, dtype)`` closure; enables the /v1/reload hot-swap
+    endpoint rooted at ``reload_root``."""
     from http.server import ThreadingHTTPServer
 
     batcher = DynamicBatcher(fn, max_batch=max_batch,
@@ -643,10 +817,15 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
         print(f"warmed {len(batcher.buckets)} buckets "
               f"{batcher.buckets} in {time.monotonic() - t0:.1f}s")
     sample_bytes = int(np.prod(sample_shape)) * np.dtype(dtype).itemsize
+    reloader = None
+    if reload_build is not None:
+        reloader = Reloader(batcher, reload_build, reload_root,
+                            default_int8=reload_int8)
     handler_cls = make_handler(
         batcher, sample_ndim=len(sample_shape),
         # npy header is tiny; allow 16 full batches per request
-        max_body_bytes=16 * max_batch * sample_bytes + (1 << 20))
+        max_body_bytes=16 * max_batch * sample_bytes + (1 << 20),
+        reloader=reloader)
     httpd = ThreadingHTTPServer((host, port), handler_cls)
     if ready_event is not None:
         ready_event.port = httpd.server_address[1]
@@ -677,21 +856,42 @@ def _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
 
 def serve_forever(bundle_path: str, host: str = "0.0.0.0", port: int = 8300,
                   max_batch: int = 128, max_delay_ms: float = 5.0,
-                  warmup: bool = True, ready_event=None, stop_event=None):
-    """Serve an exported bundle (single device) until interrupted."""
+                  warmup: bool = True, ready_event=None, stop_event=None,
+                  allow_reload: bool = False, reload_root=None):
+    """Serve an exported bundle (single device) until interrupted.
+
+    allow_reload: expose POST /v1/reload {"target": <bundle path under
+    reload_root>} to hot-swap to a newly exported bundle (see Reloader).
+    """
+    import os
+
     from protoasnet_tpu.serve import load_serving_bundle_with_spec
 
     fn, shape, dtype = load_serving_bundle_with_spec(bundle_path)
+
+    reload_build = None
+    if allow_reload:
+        def reload_build(target, int8):
+            # a bundle is self-contained (int8 kernels baked into its
+            # StableHLO at export), so the int8 flag is ignored here
+            import jax
+
+            nfn, nshape, ndtype = load_serving_bundle_with_spec(target)
+            return jax.jit(nfn), nshape[1:], ndtype
+
     _serve_loop(fn, shape[1:], dtype, host, port, max_batch, max_delay_ms,
                 warmup, ready_event, banner=bundle_path,
-                stop_event=stop_event)
+                stop_event=stop_event, reload_build=reload_build,
+                reload_root=reload_root or os.path.dirname(
+                    os.path.abspath(bundle_path)))
 
 
 def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
                max_batch: int = 128, max_delay_ms: float = 5.0,
                warmup: bool = True, ready_event=None,
                uint8_input: bool = False, int8: bool = False,
-               calib_batches: int = 4, stop_event=None):
+               calib_batches: int = 4, stop_event=None,
+               allow_reload: bool = False, reload_root=None):
     """Serve a trained run live, data-parallel over ALL local devices.
 
     Rebuilds the model from the run dir and serves it through
@@ -700,7 +900,14 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
     across ICI-connected chips (each chip's shard should sit near its
     128-clip sweet spot, so size --max_batch ~ 128 * n_devices). Bucket
     ladder is in multiples of the mesh size so every shard stays equal.
+
+    allow_reload: expose POST /v1/reload {"target": <run dir under
+    reload_root>, "int8": bool?} — background-compile the new run's
+    const-bound executables, then atomically swap (see Reloader); the
+    old weights serve throughout, vs a restart's full-warmup downtime.
     """
+    import os
+
     from protoasnet_tpu.parallel import make_mesh
     from protoasnet_tpu.serve import load_trained_agent, make_sharded_serving_fn
 
@@ -710,30 +917,46 @@ def serve_live(run_dir: str, host: str = "0.0.0.0", port: int = 8300,
     max_batch = max(n_dev, (max_batch // n_dev) * n_dev)
     buckets = tuple(n_dev * b for b in _bucket_ladder(max_batch // n_dev))
 
-    qstate = None
-    if int8:
-        from protoasnet_tpu.quant import calibrate_qstate_from_agent
+    def build_sharded(agent, want_int8: bool):
+        """(jitted sharded fn, sample_shape, dtype) for one checkpoint —
+        the initial path and every hot reload go through the same code."""
+        qstate = None
+        if want_int8:
+            from protoasnet_tpu.quant import calibrate_qstate_from_agent
 
-        qstate = calibrate_qstate_from_agent(agent, calib_batches)
+            qstate = calibrate_qstate_from_agent(agent, calib_batches)
+        base = {"params": agent.params, "batch_stats": agent.batch_stats}
+        variables = ({"variables": base, "qstate": qstate}
+                     if qstate is not None else base)
+        # weights bound as compile-time constants: +30% serving throughput
+        # measured on chip (serve.make_sharded_serving_fn docstring)
+        sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
+                                          uint8_gray=uint8_input,
+                                          variables=variables)
+        sample_shape = input_shape[:-1] if uint8_input else input_shape
+        return sharded, sample_shape, np.uint8 if uint8_input else np.float32
 
-    base = {"params": agent.params, "batch_stats": agent.batch_stats}
-    variables = {"variables": base, "qstate": qstate} if qstate is not None \
-        else base
-    # weights bound as compile-time constants: +30% serving throughput
-    # measured on chip (serve.make_sharded_serving_fn docstring)
-    sharded = make_sharded_serving_fn(agent.model, mesh, qstate=qstate,
-                                      uint8_gray=uint8_input,
-                                      variables=variables)
+    sharded, sample_shape, dtype = build_sharded(agent, int8)
 
     def fn(x):
         return np.asarray(sharded(x), np.float32)
 
-    sample_shape = input_shape[:-1] if uint8_input else input_shape
-    dtype = np.uint8 if uint8_input else np.float32
+    reload_build = None
+    if allow_reload:
+        def reload_build(target, want_int8):
+            new_agent, new_shape = load_trained_agent(target)
+            if tuple(new_shape) != tuple(input_shape):
+                raise ValueError(f"run {target!r} input {new_shape} != "
+                                 f"serving contract {tuple(input_shape)}")
+            return build_sharded(new_agent, want_int8)
+
     _serve_loop(fn, sample_shape, dtype, host, port, max_batch,
                 max_delay_ms, warmup, ready_event, buckets=buckets,
                 banner=f"{run_dir} live on {n_dev} device(s)",
-                stop_event=stop_event)
+                stop_event=stop_event, reload_build=reload_build,
+                reload_root=reload_root or os.path.dirname(
+                    os.path.abspath(run_dir)),
+                reload_int8=int8)
 
 
 def main(argv=None):
@@ -759,6 +982,12 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="(--run_dir only) w8a8 backbone")
     ap.add_argument("--calib_batches", type=int, default=4)
+    ap.add_argument("--allow_reload", action="store_true",
+                    help="expose POST /v1/reload weight hot-swap; targets "
+                         "must resolve under --reload_root")
+    ap.add_argument("--reload_root", default=None,
+                    help="directory reload targets must live under "
+                         "(default: the initial artifact's parent dir)")
     a = ap.parse_args(argv)
 
     # Persistent XLA cache: daemon restarts skip the minutes-long warmup
@@ -787,12 +1016,14 @@ def main(argv=None):
     if a.bundle:
         serve_forever(a.bundle, a.host, a.port, a.max_batch, a.max_delay_ms,
                       warmup=not a.no_warmup, ready_event=ready,
-                      stop_event=stop)
+                      stop_event=stop, allow_reload=a.allow_reload,
+                      reload_root=a.reload_root)
     else:
         serve_live(a.run_dir, a.host, a.port, a.max_batch, a.max_delay_ms,
                    warmup=not a.no_warmup, uint8_input=a.uint8_input,
                    int8=a.int8, calib_batches=a.calib_batches,
-                   ready_event=ready, stop_event=stop)
+                   ready_event=ready, stop_event=stop,
+                   allow_reload=a.allow_reload, reload_root=a.reload_root)
 
 
 if __name__ == "__main__":

@@ -57,11 +57,20 @@ def _conv_flops(eqn) -> float:
     rhs = eqn.invars[1].aval
     out = eqn.outvars[0].aval
     dn = eqn.params["dimension_numbers"]
-    groups = (eqn.params.get("feature_group_count", 1)
-              * eqn.params.get("batch_group_count", 1))
+    # Batch-grouped convs (they appear in gradients of grouped/depthwise
+    # convs — no current model has any) contract over batch slices, which
+    # this output-shape formula does not model. Fail loudly rather than
+    # silently miscount a future grouped-conv model's MFU.
+    bgc = eqn.params.get("batch_group_count", 1)
+    if bgc != 1:
+        raise NotImplementedError(
+            f"_conv_flops: batch_group_count={bgc} convolution not "
+            "modelled; extend the formula before trusting MFU numbers "
+            "for grouped/depthwise-conv models")
+    # feature_group_count needs no factor: the kernel's input-feature dim
+    # (c_in below) is already per-group by construction.
     k_spatial = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
-    c_in = rhs.shape[dn.rhs_spec[1]]  # already per-group in the kernel
-    del groups  # kernel's input-feature dim is per-group by construction
+    c_in = rhs.shape[dn.rhs_spec[1]]
     return 2.0 * math.prod(out.shape) * c_in * k_spatial
 
 

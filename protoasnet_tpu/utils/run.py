@@ -22,11 +22,70 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 __all__ = ["set_seed", "set_logger", "create_save_loc", "backup_code", "makedir",
-           "enable_compilation_cache"]
+           "enable_compilation_cache", "test_cache_dir",
+           "enable_test_compilation_cache"]
+
+
+def test_cache_dir(tag: str = "test") -> str:
+    """Per-uid, per-MACHINE persistent XLA cache dir for test/driver runs.
+
+    The single source of truth for every CPU test-cache path in this repo
+    (conftest, the float64 trajectory drivers) — no module should define
+    its own. Two hard-won constraints shape the key:
+
+    - per-uid (not a fixed /tmp name): a predictable world-writable path
+      could be pre-created/poisoned by another local user, and JAX
+      deserializes compiled executables from this dir.
+    - per-machine via hostname + cpuinfo hash: XLA:CPU AOT executables
+      are NOT keyed by host target features, and this machine pool
+      rotates. Round 4's cpuinfo-only fingerprint (model name + flags)
+      collided across hosts whose actual XLA target features differ,
+      poisoning the driver dryrun (MULTICHIP_r04 rc=124, cpu_aot_loader
+      "could lead to ... SIGILL"). Hostname makes entries physically
+      unable to migrate between pool machines; cpuinfo stays in the key
+      as belt-and-braces for hostname-reuse-after-reimage.
+
+    The cache's value is warm REruns on the SAME machine (measured 2-3x
+    faster suite reruns) — cross-machine reuse is exactly what must not
+    happen.
+    """
+    import hashlib
+    import socket
+    import tempfile
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = "".join(ln for ln in f
+                           if ln.startswith(("model name", "flags")))
+    except OSError:
+        info = "unknown"
+    key = hashlib.sha1(
+        (socket.gethostname() + "\x00" + info).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"protoasnet_jax_{tag}_cache_{os.getuid()}_{key}")
+
+
+def enable_test_compilation_cache(tag: str = "test",
+                                  min_compile_time_secs: float = 1.0) -> str:
+    """Point JAX's persistent compile cache at :func:`test_cache_dir`.
+
+    For CPU test processes only (conftest, trajectory subprocess drivers).
+    Production entry points use :func:`enable_compilation_cache` (~/.cache);
+    the driver contract ``__graft_entry__.py`` deliberately uses NO cache
+    (see the rationale at its top).
+    """
+    import jax
+
+    path = test_cache_dir(tag)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    return path
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None,
-                             min_compile_time_secs: float = 1.0) -> Optional[str]:
+                             min_compile_time_secs: float = 1.0,
+                             max_size_bytes: int = 8 << 30) -> Optional[str]:
     """Turn on JAX's persistent XLA compilation cache for this process.
 
     JAX ships this off by default, so every ``main.py`` / serving-daemon
@@ -42,6 +101,15 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     to opt out (returns None). Safe to call more than once; call before
     the first jit compile for full effect (later calls still help later
     compiles). Returns the cache dir in use.
+
+    Growth/retention: with const-weight serving (SERVING.md) every distinct
+    checkpoint's HLO embeds the full model weights, so each redeploy adds a
+    model-sized entry — unbounded over many redeploys, and a plaintext copy
+    of the weights at rest (treat the cache dir with checkpoint-level
+    permissions, or point it at the run dir). ``max_size_bytes`` caps the
+    dir with JAX's LRU eviction (default 8 GiB ≈ hundreds of flagship
+    entries); set ``PROTOASNET_COMPILE_CACHE_MAX_BYTES`` to override, or
+    0 to disable eviction.
     """
     if os.environ.get("PROTOASNET_NO_COMPILE_CACHE"):
         return None
@@ -59,6 +127,10 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    max_size = int(os.environ.get("PROTOASNET_COMPILE_CACHE_MAX_BYTES",
+                                  max_size_bytes))
+    if max_size > 0:
+        jax.config.update("jax_compilation_cache_max_size", max_size)
     return cache_dir
 
 

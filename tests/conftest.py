@@ -16,38 +16,19 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeated suite runs skip recompiling the
+# Persistent compilation cache: repeated suite runs skip recompiling the
 # heavy train-step/backbone programs (measured ~2-3x faster warm reruns on
-# this 1-core host).
-# Per-uid path: a fixed world-readable /tmp dir could be owned (or
-# poisoned) by another user on a shared host.
-# Per-CPU-fingerprint path: XLA:CPU AOT results are NOT keyed by host
-# features and this machine pool rotates, so executables cached on one
-# host can be loaded on a different one (the loader itself warns "could
-# lead to execution errors such as SIGILL"). NOTE the cpu_aot_loader
-# "+prefer-no-scatter/gather not supported" stderr noise is NOT that
-# case — those are XLA-injected tuning pseudo-features absent from the
-# host-feature list even on the compiling machine; same-machine cache
-# hits print it too.
-import hashlib  # noqa: E402
-import tempfile  # noqa: E402
+# this 1-core host). The dir is keyed per-uid AND per-machine
+# (hostname+cpuinfo) — see utils/run.py::test_cache_dir for why both
+# matter (tmp poisoning; XLA:CPU AOT entries are not portable across the
+# rotating machine pool and a migrated "hit" fails feature validation).
+# NOTE the cpu_aot_loader "+prefer-no-scatter/gather not supported" stderr
+# noise is NOT the cross-machine case — those are XLA-injected tuning
+# pseudo-features absent from the host-feature list even on the compiling
+# machine; same-machine cache hits print it too.
+from protoasnet_tpu.utils.run import enable_test_compilation_cache  # noqa: E402
 
-
-def _cpu_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            info = [ln for ln in f
-                    if ln.startswith(("model name", "flags"))][:2]
-        return hashlib.sha1("".join(info).encode()).hexdigest()[:10]
-    except OSError:
-        return "unknown"
-
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(tempfile.gettempdir(),
-                 f"protoasnet_jax_test_cache_{os.getuid()}_{_cpu_fingerprint()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_test_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -202,9 +202,14 @@ def test_serve_live_daemon_over_trained_run(trained_agent):
     rebuilds the agent, calibrates w8a8 via quant.calibrate_qstate_from_agent,
     serves data-parallel over the 8-device CPU mesh, and answers a
     concurrent HTTP client with per-sample logits. Covers the --run_dir
-    --int8 plumbing that unit tests (mesh parity, batcher) don't."""
+    --int8 plumbing that unit tests (mesh parity, batcher) don't — plus the
+    --allow_reload hot-swap: POST /v1/reload re-loads the run as bf16
+    (int8:false), background-compiles the const-bound sharded executables,
+    and atomically swaps without the daemon ever going down."""
     import io
+    import json
     import threading
+    import time
     import urllib.request
 
     import glob
@@ -221,21 +226,49 @@ def test_serve_live_daemon_over_trained_run(trained_agent):
         target=serve_live,
         kwargs=dict(run_dir=str(trained_agent.save_dir), host="127.0.0.1",
                     port=0, max_batch=8, warmup=False, ready_event=ready,
-                    int8=True, calib_batches=1, stop_event=stop),
+                    int8=True, calib_batches=1, stop_event=stop,
+                    allow_reload=True),
         daemon=True)
     t.start()
     try:
         assert ready.wait(600), "daemon never came up"
-        url = f"http://127.0.0.1:{ready.port}/v1/predict"
+        base = f"http://127.0.0.1:{ready.port}"
+        url = base + "/v1/predict"
+
+        def predict(x):
+            buf = io.BytesIO()
+            np.save(buf, x)
+            req = urllib.request.Request(url, data=buf.getvalue(),
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
         x = np.random.default_rng(0).normal(
             size=(2, 8, 32, 32, 3)).astype(np.float32)
-        buf = io.BytesIO()
-        np.save(buf, x)
-        req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
-            out = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        out = predict(x)
         assert out.shape == (2, trained_agent.model.num_classes)
         assert np.all(np.isfinite(out))
+
+        # hot-swap: same run dir re-loaded as bf16 (int8:false) — exercises
+        # load_trained_agent + build_sharded + per-bucket AOT compile on the
+        # reloader thread, then the atomic swap, all with the daemon up
+        body = json.dumps({"target": str(trained_agent.save_dir),
+                           "int8": False}).encode()
+        req = urllib.request.Request(base + "/v1/reload", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 202
+        deadline = time.time() + 600
+        st = None
+        while time.time() < deadline:
+            with urllib.request.urlopen(base + "/v1/reload", timeout=60) as r:
+                st = json.loads(r.read())
+            if st["state"] in ("serving", "error"):
+                break
+            time.sleep(0.5)
+        assert st and st["state"] == "serving" and st["generation"] == 1, st
+        out2 = predict(x)  # now served by the bf16 executables
+        assert out2.shape == out.shape and np.all(np.isfinite(out2))
     finally:
         stop.set()
         t.join(timeout=30)

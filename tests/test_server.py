@@ -243,7 +243,8 @@ def test_prometheus_text_format():
             "padding_frac": 0.125, "errors": 1, "abandoned": 2,
             "bucket_counts": {"8": 2, "16": 1},
             "latency_ms_p50": 1.5, "latency_ms_p95": 3.25,
-            "latency_ms_p99": 9.0}
+            "latency_ms_p99": 9.0, "latency_ms_count": 7,
+            "latency_ms_sum": 23.75}
     text = prometheus_text(snap, healthy=True)
     lines = text.splitlines()
     assert "protoasnet_healthy 1" in lines
@@ -259,8 +260,16 @@ def test_prometheus_text_format():
     assert 'protoasnet_request_latency_ms{quantile="0.99"} 9.0' in lines
     assert 'protoasnet_batches_by_bucket_total{bucket="8"} 2' in lines
     assert 'protoasnet_batches_by_bucket_total{bucket="16"} 1' in lines
-    # every sample line's metric name is TYPE-declared (scrape validity)
+    # summary emits the _count/_sum series strict OpenMetrics parsers need
+    assert "protoasnet_request_latency_ms_count 7" in lines
+    assert any(ln.startswith("protoasnet_request_latency_ms_sum ")
+               for ln in lines)
+    # every sample line's metric name is TYPE-declared (scrape validity);
+    # a summary family declaration also covers its _count/_sum suffixes
     declared = {ln.split()[2] for ln in lines if ln.startswith("# TYPE")}
+    summaries = {ln.split()[2] for ln in lines
+                 if ln.startswith("# TYPE") and ln.rstrip().endswith("summary")}
+    declared |= {s + suf for s in summaries for suf in ("_count", "_sum")}
     for ln in lines:
         if not ln.startswith("#"):
             assert ln.split("{")[0].split(" ")[0] in declared
@@ -960,3 +969,231 @@ def test_http_empty_npy_batch_is_400(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=10)
     assert ei.value.code == 400
+
+
+# -- weight hot-swap (server.Reloader + /v1/reload) --------------------------
+
+
+def _post_json(url, obj, timeout=30):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        body = e.read()
+        try:
+            return e.code, json.loads(body)
+        except ValueError:
+            return e.code, {"raw": body.decode("utf-8", "replace")}
+
+
+def _get_json(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _wait_reload(url, want_gen, timeout=120):
+    deadline = time.time() + timeout
+    st = None
+    while time.time() < deadline:
+        st = _get_json(url + "/v1/reload")
+        if st["state"] == "error":
+            return st
+        if st["generation"] >= want_gen and st["state"] == "serving":
+            return st
+        time.sleep(0.05)
+    raise AssertionError(f"reload never reached generation {want_gen}: {st}")
+
+
+@pytest.fixture()
+def reload_loop(tmp_path):
+    """_serve_loop with /v1/reload enabled. The 'checkpoint' format is a
+    text file holding a scale factor (jitted per-sample sum * scale), so a
+    swap visibly changes outputs; a negative scale simulates a checkpoint
+    whose model geometry breaks the serving contract. reload_root is
+    tmp_path; yields (base_url, tmp_path, outside_file, build_calls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.server import _serve_loop
+
+    (tmp_path / "w1.txt").write_text("1.0")
+    (tmp_path / "w3.txt").write_text("3.0")
+    (tmp_path / "w_badshape.txt").write_text("-1.0")
+    outside = tmp_path.parent / f"outside_{tmp_path.name}.txt"
+    outside.write_text("9.0")
+    calls = []
+
+    def build(target, int8):
+        calls.append((target, int8))
+        scale = float(open(target).read())
+        shape = (5, 5) if scale < 0 else (4, 4)
+        return (jax.jit(lambda x: jnp.sum(x, axis=(1, 2)) * scale),
+                shape, np.float32)
+
+    jit1, shape, dtype = build(str(tmp_path / "w1.txt"), False)
+    calls.clear()
+
+    def fn(x):
+        return np.asarray(jit1(x), np.float32)
+
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=_serve_loop,
+        args=(fn, shape, dtype, "127.0.0.1", 0, 4, 2.0, False, ready),
+        kwargs=dict(stop_event=stop, reload_build=build,
+                    reload_root=str(tmp_path)),
+        daemon=True)
+    t.start()
+    assert ready.wait(60)
+    yield f"http://127.0.0.1:{ready.port}", tmp_path, outside, calls
+    stop.set()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_reload_disabled_is_403(live_loop):
+    """Daemons started without --allow_reload must refuse both verbs (the
+    endpoint takes filesystem paths from the network; Reloader docstring)."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(live_loop + "/v1/reload", timeout=10)
+    assert ei.value.code == 403
+    code, _ = _post_json(live_loop + "/v1/reload", {"target": "x"})
+    assert code == 403
+
+
+def test_reload_hot_swap_changes_weights(reload_loop):
+    """POST /v1/reload compiles the new weights in the background and
+    atomically swaps: same daemon, same socket, new outputs."""
+    url, root, _, calls = reload_loop
+    x = np.random.default_rng(0).normal(size=(3, 4, 4)).astype(np.float32)
+    ref = x.sum(axis=(1, 2))
+    np.testing.assert_allclose(_post_npy(url + "/v1/predict", x), ref,
+                               rtol=1e-5)
+
+    st = _get_json(url + "/v1/reload")
+    assert st["state"] == "idle" and st["generation"] == 0
+    assert st["root"] == str(root)
+
+    code, body = _post_json(url + "/v1/reload",
+                            {"target": str(root / "w3.txt"), "int8": True})
+    assert code == 202, body
+    st = _wait_reload(url, 1)
+    assert st["state"] == "serving" and st["error"] is None
+    np.testing.assert_allclose(_post_npy(url + "/v1/predict", x), 3 * ref,
+                               rtol=1e-5)
+    # the explicit int8 flag rode through to the build closure
+    assert calls == [(str(root / "w3.txt"), True)]
+    # reload status also rides /v1/stats for one-stop scraping
+    assert _get_json(url + "/v1/stats")["reload"]["generation"] == 1
+
+
+def test_reload_rejects_bad_targets(reload_loop):
+    """Path escapes and missing targets are 400 at request time (nothing
+    kicked off); malformed JSON bodies too. Traffic keeps flowing."""
+    url, root, outside, calls = reload_loop
+    code, body = _post_json(url + "/v1/reload", {"target": str(outside)})
+    assert code == 400 and "outside" in body["error"]
+    # ../ escape resolved by realpath, not string-prefix tricks
+    code, body = _post_json(
+        url + "/v1/reload", {"target": str(root / ".." / outside.name)})
+    assert code == 400 and "outside" in body["error"]
+    code, body = _post_json(url + "/v1/reload",
+                            {"target": str(root / "nope.txt")})
+    assert code == 400 and "does not exist" in body["error"]
+    code, _ = _post_json(url + "/v1/reload", {"not_target": 1})
+    assert code == 400
+    assert calls == []  # none of those reached the build
+    x = np.ones((2, 4, 4), np.float32)
+    np.testing.assert_allclose(_post_npy(url + "/v1/predict", x),
+                               x.sum(axis=(1, 2)), rtol=1e-6)
+
+
+def test_reload_failure_keeps_old_weights(reload_loop):
+    """A reload that blows up mid-build (corrupt checkpoint, or a model
+    whose input geometry breaks the published serving contract) parks the
+    error in status and the OLD weights keep serving; the busy flag is
+    released so a later good reload succeeds."""
+    url, root, _, _ = reload_loop
+    (root / "corrupt.txt").write_text("not-a-float")
+    for target, want in [("corrupt.txt", "ValueError"),
+                         ("w_badshape.txt", "serving contract")]:
+        code, _ = _post_json(url + "/v1/reload",
+                             {"target": str(root / target)})
+        assert code == 202
+        deadline = time.time() + 60
+        st = None
+        while time.time() < deadline:
+            st = _get_json(url + "/v1/reload")
+            if st["state"] == "error":
+                break
+            time.sleep(0.05)
+        assert st["state"] == "error" and want in st["error"], st
+        assert st["generation"] == 0
+        x = np.ones((2, 4, 4), np.float32)
+        np.testing.assert_allclose(_post_npy(url + "/v1/predict", x),
+                                   x.sum(axis=(1, 2)), rtol=1e-6)
+    code, _ = _post_json(url + "/v1/reload", {"target": str(root / "w3.txt")})
+    assert code == 202
+    assert _wait_reload(url, 1)["state"] == "serving"
+
+
+def test_reload_in_flight_requests_served_by_one_weight_set():
+    """The swap contract (Reloader docstring): requests racing a reload are
+    never dropped and each is served entirely by old OR new weights — the
+    dispatch thread reads batcher.fn once per flushed group, and the swap
+    is a single atomic attribute store. Also pins the 409-while-busy rule."""
+    import jax
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.server import Reloader
+
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=0.5,
+                       dtype=np.float32, sample_shape=(4, 4))
+    hold = threading.Event()
+
+    def build(target, int8):
+        hold.wait(30)  # stretch the compile window across live traffic
+        return (jax.jit(lambda x: jnp.sum(x, axis=(1, 2)) * 3.0),
+                (4, 4), np.float32)
+
+    r = Reloader(b, build, root="/")
+    results, res_lock = [], threading.Lock()
+    stop_traffic = threading.Event()
+
+    def client(i):
+        rng = np.random.default_rng(i)
+        while not stop_traffic.is_set():
+            x = rng.uniform(0.5, 1.5, size=(2, 4, 4)).astype(np.float32)
+            ratio = b.submit(x) / x.sum(axis=(1, 2))  # sums >= 8: stable
+            with res_lock:
+                results.append(ratio)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    try:
+        for t in threads:
+            t.start()
+        code, _ = r.request("/", None)
+        assert code == 202
+        code2, body2 = r.request("/", None)  # one reload at a time
+        assert code2 == 409 and "in progress" in body2["error"]
+        time.sleep(0.3)  # traffic against old weights while "compiling"
+        assert r.status()["state"] in ("loading", "compiling")
+        hold.set()
+        deadline = time.time() + 60
+        while r.status()["generation"] < 1 and time.time() < deadline:
+            time.sleep(0.02)
+        assert r.status()["generation"] == 1
+        time.sleep(0.3)  # traffic against new weights
+    finally:
+        stop_traffic.set()
+        for t in threads:
+            t.join(timeout=30)
+        b.close()
+    flat = np.concatenate(results)
+    old = np.isclose(flat, 1.0, rtol=1e-4)
+    new = np.isclose(flat, 3.0, rtol=1e-4)
+    assert np.all(old | new), "a request saw a mixed/garbled weight set"
+    assert old.any() and new.any(), "swap window not actually exercised"

@@ -360,3 +360,71 @@ def test_r3d18_import_forward_parity():
     ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+# -- scripts/fetch_zoo.py (hermetic: verification logic only, no network) ----
+
+
+def _load_fetch_zoo():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "fetch_zoo.py")
+    spec = importlib.util.spec_from_file_location("fetch_zoo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fetch_zoo_covers_every_importable_arch():
+    """The fetch manifest must track the importer zoo: every arch
+    load_pretrained_backbone can convert has a URL, and every URL's
+    embedded sha256 prefix is well-formed (8 hex chars, the torch.hub
+    convention the downloader verifies against)."""
+    fz = _load_fetch_zoo()
+    from protoasnet_tpu.models.backbones.resnet2d import RESNET_SPECS
+
+    for arch in list(RESNET_SPECS) + [
+            "resnet2p1d_18", "r3d_18",
+            "densenet121", "densenet161", "densenet169", "densenet201",
+            "vgg11", "vgg13", "vgg16", "vgg19",
+            "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn"]:
+        assert arch in fz.ZOO, f"no fetch URL for importable arch {arch}"
+    for arch, upstream in fz.ZOO.items():
+        pref = fz._expected_prefix(upstream)
+        assert len(pref) == 8 and int(pref, 16) >= 0, (arch, upstream)
+
+
+def test_fetch_zoo_verifies_and_imports_cache(tmp_path):
+    """import_cache copies only files whose sha256 matches the embedded
+    prefix; fetch() refuses to overwrite a mismatched existing file."""
+    import hashlib
+
+    import pytest
+
+    fz = _load_fetch_zoo()
+    cache = tmp_path / "cache"
+    dest = tmp_path / "dest"
+    cache.mkdir(), dest.mkdir()
+
+    # forge a tiny ZOO whose hash prefixes we control
+    good = b"good-weights"
+    bad = b"tampered"
+    fz.ZOO = {
+        "archA": f"archA-{hashlib.sha256(good).hexdigest()[:8]}.pth",
+        "archB": f"archB-{hashlib.sha256(good).hexdigest()[:8]}.pth",
+    }
+    (cache / fz.ZOO["archA"]).write_bytes(good)
+    (cache / fz.ZOO["archB"]).write_bytes(bad)  # wrong content
+    n = fz.import_cache(str(dest), str(cache))
+    assert n == 1
+    assert (dest / "archA.pth").read_bytes() == good
+    assert not (dest / "archB.pth").exists()
+
+    # fetch(): existing-but-corrupt file is a hard error, not silent reuse
+    (dest / "archB.pth").write_bytes(bad)
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        fz.fetch("archB", str(dest))
+    # existing-and-valid short-circuits without any network touch
+    assert fz.fetch("archA", str(dest)) == str(dest / "archA.pth")

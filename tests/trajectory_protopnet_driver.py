@@ -21,13 +21,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-import tempfile
+from protoasnet_tpu.utils.run import enable_test_compilation_cache
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(tempfile.gettempdir(),
-                 f"protoasnet_jax_test_cache_{os.getuid()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Same per-uid, per-machine cache dir as conftest (single source of
+# truth; x64 programs key separately inside it).
+enable_test_compilation_cache()
 
 import jax.numpy as jnp
 import numpy as np
