@@ -82,4 +82,43 @@ loss = float(metrics["loss_all"])
 new_state, metrics2 = train_step(new_state, gb["cine"], gb["target_AS"],
                                  gb["valid"], jax.random.PRNGKey(1), lrs)
 print(f"LOSS {loss:.10f} {float(metrics2['loss_all']):.10f}", flush=True)
+
+# --- uneven final batch: 6 real samples padded to 8, the padding masked
+# by valid=False (every epoch's last batch looks like this; the pad rows
+# repeat real data exactly like data/dataset.py:335-337). Same jitted
+# program (valid is an input), fresh replicated state.
+from tests.test_multiprocess import padded_global_batch
+
+xp, yp, vp = padded_global_batch()
+lo, hi = PID * (len(xp) // NPROC), (PID + 1) * (len(xp) // NPROC)
+gbp = global_batch_from_local(
+    mesh, {"cine": xp[lo:hi], "target_AS": yp[lo:hi], "valid": vp[lo:hi]})
+_, mp = train_step(state, gbp["cine"], gbp["target_AS"], gbp["valid"],
+                   jax.random.PRNGKey(0), lrs)
+print(f"PADLOSS {float(mp['loss_all']):.10f}", flush=True)
+
+# --- FSDP / ZeRO-3: params + Adam moments + grad accumulators sharded
+# over the SAME cross-process data axis (GSPMD all-gathers on use, the
+# gather/scatter collectives now ride the gloo DCN path). Step-1 loss on
+# fresh state must equal the DP step-1 loss above — sharding placement
+# must not change the math.
+from protoasnet_tpu.parallel.mesh import fsdp_param_shardings, opt_state_shardings
+from protoasnet_tpu.train.optim import GradAccumulator
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+repl = NamedSharding(mesh, P())
+fsdp = fsdp_param_shardings(params, mesh, min_size=1 << 10)
+state_f = TrainState.create(params, batch_stats, tx)
+opt_sh = opt_state_shardings(state_f.opt_state, params, fsdp, mesh)
+put = jax.tree_util.tree_map
+state_f = state_f.replace(
+    params=put(jax.device_put, state_f.params, fsdp),
+    acc=GradAccumulator(acc=put(jax.device_put, state_f.acc.acc, fsdp),
+                        count=jax.device_put(state_f.acc.count, repl)),
+    batch_stats=jax.device_put(state_f.batch_stats, repl),
+    opt_state=put(jax.device_put, state_f.opt_state, opt_sh),
+)
+stf, mf = train_step(state_f, gb["cine"], gb["target_AS"], gb["valid"],
+                     jax.random.PRNGKey(0), lrs)
+print(f"FSDPLOSS {float(mf['loss_all']):.10f}", flush=True)
 jax.distributed.shutdown()

@@ -48,6 +48,19 @@ def global_batch():
     return x, y, v
 
 
+def padded_global_batch():
+    """An epoch's UNEVEN final batch: 6 real samples padded to 8 by
+    repeating the last row (exactly what data/dataset.py:335-337 does),
+    with valid=False masking the padding."""
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(8, 8, 32, 32, 3)).astype(np.float32)
+    x[6:] = x[5]  # pad rows repeat the last real sample
+    y = rng.integers(0, 3, size=8).astype(np.int32)
+    y[6:] = y[5]
+    v = np.array([True] * 6 + [False] * 2)
+    return x, y, v
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -84,7 +97,14 @@ def _single_process_loss():
                  jax.random.PRNGKey(0), lrs)
     _, m2 = step(st, gb["cine"], gb["target_AS"], gb["valid"],
                  jax.random.PRNGKey(1), lrs)
-    return float(m["loss_all"]), float(m2["loss_all"])
+    # the padded final batch (same jitted program; valid is an input)
+    xp, yp, vp = padded_global_batch()
+    gbp = shard_batch(mesh, {"cine": jnp.asarray(xp),
+                             "target_AS": jnp.asarray(yp),
+                             "valid": jnp.asarray(vp)})
+    _, mp = step(state, gbp["cine"], gbp["target_AS"], gbp["valid"],
+                 jax.random.PRNGKey(0), lrs)
+    return float(m["loss_all"]), float(m2["loss_all"]), float(mp["loss_all"])
 
 
 def test_two_process_train_step_matches_single_process():
@@ -113,12 +133,18 @@ def test_two_process_train_step_matches_single_process():
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
-    losses = []
+    losses, pads, fsdps = [], [], []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("LOSS ")][-1]
         losses.append(tuple(float(t) for t in line.split()[1:]))
+        pads.append(float([ln for ln in out.splitlines()
+                           if ln.startswith("PADLOSS ")][-1].split()[1]))
+        fsdps.append(float([ln for ln in out.splitlines()
+                            if ln.startswith("FSDPLOSS ")][-1].split()[1]))
     # both processes observe the identical (replicated) global loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    np.testing.assert_allclose(pads[0], pads[1], rtol=1e-6)
+    np.testing.assert_allclose(fsdps[0], fsdps[1], rtol=1e-6)
 
     ref = _single_process_loss()
     # step-1 loss (before any update): same global batch, so any wiring bug
@@ -131,3 +157,12 @@ def test_two_process_train_step_matches_single_process():
     # on some hosts (codegen-dependent). Anything structural would be
     # orders of magnitude larger.
     np.testing.assert_allclose(losses[0][1], ref[1], rtol=1e-3)
+    # uneven final batch: the 2 masked pad rows must not contribute — the
+    # 2-process padded loss matches the single-process run of the same
+    # padded batch, and it is a genuinely different number than the full
+    # batch's (guards against valid being ignored entirely).
+    np.testing.assert_allclose(pads[0], ref[2], rtol=2e-5)
+    assert abs(pads[0] - losses[0][0]) > 1e-6
+    # FSDP placement must not change the math: step-1 forward runs on
+    # all-gathered params that are bitwise the DP ones.
+    np.testing.assert_allclose(fsdps[0], losses[0][0], rtol=2e-5)
