@@ -30,6 +30,43 @@ the Pallas negative result:
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/int8_ceiling.py
      [--analytic-only]   (no device needed)
+
+MEASURED RESULTS (v5e-1, 2026-08-20) — CONCLUSION: structural ceiling.
+
+  analytic floors (batch 128): bf16 119.7 ms (1069 clips/s); int8 with
+  the activation-quantize pass producer-fused 67.7 ms (1890), fused into
+  the consuming conv 86.8 ms (1475), unfused 126.0 ms (1016).
+
+  measured (const-bound):
+    bf16_const              823.6 clips/s   (77% of its roofline floor)
+    int8_full               990.5 clips/s   (97.5% of the UNFUSED int8
+                                             floor — the lowering runs a
+                                             separate quantize pass)
+    int8_no_stem            976.5    selective quantization is
+    int8_L2plus             948.8    monotonically WORSE: end-to-end,
+    int8_L3_only            857.8    every quantized conv helps, even
+                                     the 56x56 ones that lose in
+                                     isolated pair probes
+    int8_full_plus_heads    990.9    (= int8_full: the add-on/occurrence
+                                     heads are nn.Dense, not nn.Conv, so
+                                     the conv filter matches nothing —
+                                     and at ~2% of FLOPs, HBM-bound at
+                                     14x14, they are not a lever anyway)
+
+  Amdahl: bf16 155.4 ms = 101.2 MXU-at-peak + 54.2 other; a perfect
+  int8 lowering (conv FLOPs exactly 2x, nothing else changes) would
+  give 104.8 ms (1221 clips/s); measured int8_full is 23% above that
+  bound, fully explained by the unfused quantize pass's extra HBM
+  traffic (the unfused roofline predicts exactly this: +20 ms).
+
+  Reading: 990 clips/s IS the int8 ceiling for an XLA lowering that
+  materializes quantized activations. The remaining 1.5x (to the
+  producer-fused floor) needs the quantize folded into the producing
+  op's epilogue across conv boundaries — exactly what the int8-resident
+  Conv2Plus1D fold (quant.py fold_conv2plus1d) implements, and that
+  measured NEGATIVE end-to-end (0.97x) because the int8 intermediates
+  perturb XLA's global layout choices. Both ends are now measured: the
+  gap is structural to the XLA int8 story on this chip, not headroom.
 """
 from __future__ import annotations
 
