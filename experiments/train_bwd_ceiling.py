@@ -12,7 +12,33 @@ times the REAL jitted train step over the flagship Video_XProtoNet
 (resnet2p1d_18 trunc -3, 32x112x112, 7-term loss incl. the combined
 TransformLoss forward).
 
-Usage: python experiments/train_bwd_ceiling.py [--quick]
+Usage: python experiments/train_bwd_ceiling.py [--quick|--fwd-only]
+
+MEASURED RESULTS (v5e-1, 2026-08-20) — CONCLUSION: structural ceiling;
+the "gap" was a batch-size artifact, not a bwd inefficiency.
+
+  b8  remat0 donate0    118.0 ms   67.8 clips/s  MFU 34.7%   (shipped)
+  b8  remat0 donate1    118.2 ms   67.7 clips/s  MFU 34.6%   (donation: 0%)
+  b8  remat1 donate1    153.4 ms   52.2 clips/s  MFU 34.8%   (remat: -23%)
+  b4  remat0 donate1     60.6 ms   66.1 clips/s  MFU 33.8%
+  b16 remat0 donate1    243.3 ms   65.8 clips/s  MFU 33.7%   (fits, but -3%)
+  b16 remat1 donate1    340.0 ms   47.1 clips/s  MFU 31.4%
+  b8  grad-only         117.8 ms   67.9 clips/s  MFU 34.7%   (Adam+accum
+                                                              update: FREE)
+  b8  fwd-only           17.1 ms  469.2 clips/s  MFU 37.3%
+
+  Reading: the r4 framing "fwd 50.9% vs train 35.3%" compared a
+  batch-128 inference number against a batch-8 train number. At the SAME
+  batch 8, the forward alone runs at 37.3% MFU — the full train step's
+  34.7% means fwd+bwd+update together lose only ~3 MFU points to the
+  forward; the backward pass lowers essentially as well as the forward,
+  and the optimizer update measures zero marginal cost. The real ceiling
+  is batch size: fwd+bwd activation memory caps the step at b8-b16
+  (b16 measured -3%, b32 OOM per the r2 sweep), where the 56x56 convs
+  can't tile the MXU as well as at serving batch 128. No knob in the
+  matrix (donation, remat, batch, accumulation) moves it; remat costs
+  -23% and buys nothing here since b16 fits without it and is slower.
+  Train defaults stand: batch 8, remat off, donate on.
 """
 from __future__ import annotations
 
@@ -78,6 +104,9 @@ def time_step(step, state0, x, y, valid, lrs, donate):
 
 
 def main():
+    from protoasnet_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(0)
     base_model = build_model(CFG)
@@ -87,7 +116,7 @@ def main():
     bundle = LossBundle(CRIT, num_classes=4, abstain_class=True)
 
     # (label, batch, remat, donate, accum)
-    matrix = [
+    matrix = [] if "--fwd-only" in sys.argv else [
         ("b8  remat0 donate0", 8, False, False, 1),
         ("b8  remat0 donate1", 8, False, True, 1),
         ("b8  remat1 donate1", 8, True, True, 1),
@@ -127,6 +156,9 @@ def main():
               f"MFU {m * 100:4.1f}%  (compile {compile_s:.0f}s)", flush=True)
 
     # ---- grad-only (no optimizer update): splits bwd from Adam/accum ----
+    if "--fwd-only" in sys.argv:
+        _fwd_leg(base_model, params, stats, x8)
+        return
     class_identity = jnp.asarray(base_model.class_identity())
     loss_fn = make_xprotonet_loss_fn(base_model, bundle, class_identity,
                                      combined=True)
@@ -155,6 +187,12 @@ def main():
           f"clips/s  MFU {mfu(fl, 8 / per, 'bf16') * 100:4.1f}%", flush=True)
 
     # ---- fwd-only reference at the same batch ----
+    _fwd_leg(base_model, params, stats, x8)
+
+
+def _fwd_leg(base_model, params, stats, x8):
+    import jax
+
     @jax.jit
     def fwd_chain(v, xx, n):
         def body(i, xc):
@@ -171,7 +209,8 @@ def main():
     run_fwd(1)
     t1, t2 = run_fwd(3), run_fwd(12)
     per = (t2 - t1) / 9
-    fl = count_flops(base_model.apply, variables, x8, train=False) / 8
+    fl = count_flops(lambda v, xx: base_model.apply(v, xx, train=False),
+                     variables, x8) / 8
     print(f"{'b8  fwd-only':22s}  {per * 1000:7.1f} ms  {8 / per:6.1f} "
           f"clips/s  MFU {mfu(fl, 8 / per, 'bf16') * 100:4.1f}%", flush=True)
 
