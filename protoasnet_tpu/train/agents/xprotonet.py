@@ -128,7 +128,12 @@ class _XProtoNetAgentCommon(BaseAgent):
         # Per-batch tracker rows are skipped in this mode (epoch rows stay).
         # val_push/test keep the host path (pred-log CSVs need per-sample
         # metadata).
-        on_device = (bool(self.train_config.get("on_device_metrics", False))
+        # default ON (measured 1.43x for an eval epoch at batch 128 on the
+        # relayed chip: 489 -> 701 clips/s, experiments/device_metrics_ab.py;
+        # on a PCIe host the per-batch sync is smaller but still a pipeline
+        # break). Set train.on_device_metrics: false for the reference's
+        # per-batch host logging behavior.
+        on_device = (bool(self.train_config.get("on_device_metrics", True))
                      and mode not in ("val_push", "test"))
         dev_buf = None
 

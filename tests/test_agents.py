@@ -160,6 +160,7 @@ def test_on_device_metrics_matches_host(synthetic_csv, tmp_path):
     epoch metrics must match the per-batch host path."""
     cfg_h = _video_config(synthetic_csv, tmp_path / "host")
     cfg_h["train"]["num_train_epochs"] = 0  # eval only
+    cfg_h["train"]["on_device_metrics"] = False  # host path (default is on)
     agent_h = build_agent(cfg_h)
     res_host = agent_h.run_epoch(0, mode="val")
 
