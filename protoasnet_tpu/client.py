@@ -24,11 +24,14 @@ Usage::
     from protoasnet_tpu.client import ServingClient
     c = ServingClient("http://host:8300")
     logits = c.predict(clips)          # (n, ...) -> (n, num_classes)
+    c.reload("runs/newer_ckpt")        # weight hot-swap (--allow_reload)
 
 CLI::
 
     python -m protoasnet_tpu.client --url http://host:8300 \
         --input clips.npy --out logits.npy
+    python -m protoasnet_tpu.client --url http://host:8300 \
+        --reload runs/newer_ckpt
 """
 from __future__ import annotations
 
@@ -98,7 +101,7 @@ class ServingClient:
                 msg = e.read().decode(errors="replace")
             except OSError:  # connection died mid-error-body
                 msg = "(error body unreadable)"
-            if e.code in (400, 404, 413):
+            if e.code in (400, 403, 404, 413):
                 raise BadRequestError(e.code, msg) from None
             raise RetryableError(e.code, msg) from None
         # mid-response drops raise http.client exceptions (IncompleteRead,
@@ -196,6 +199,60 @@ class ServingClient:
             return x.astype(want)
         return x
 
+    def reload_status(self) -> dict:
+        """``GET /v1/reload`` — the daemon's reload state machine (keys:
+        ``state``, ``generation``, ``target``, ``error``, ``root``).
+        Raises BadRequestError(403) against a daemon started without
+        ``--allow_reload``."""
+        return json.loads(self._request("/v1/reload"))
+
+    def reload(self, target: str, int8: Optional[bool] = None,
+               wait: bool = True, poll_s: float = 0.5,
+               timeout_s: Optional[float] = None) -> dict:
+        """Hot-swap the daemon's weights: ``POST /v1/reload {"target": …}``.
+
+        ``target`` is a path *on the daemon's host* under its reload root
+        (server.Reloader path policy). ``int8`` overrides the daemon's
+        quantization default for the new weights; None keeps it.
+
+        The POST is deliberately NOT auto-retried (it is a control-plane
+        mutation, not an idempotent read): 403 (reload disabled) and 400
+        (bad target) raise BadRequestError; 409 (another reload already
+        in flight) raises RetryableError — poll :meth:`reload_status`
+        and re-issue when it leaves ``loading``/``compiling``.
+
+        With ``wait=True`` (default) polls until the swap lands (status
+        ``serving`` with a bumped ``generation``) and returns the final
+        status; a build/compile failure raises ServingError with the
+        daemon-side error (old weights keep serving — Reloader contract).
+        With ``wait=False`` returns the 202 acceptance body immediately.
+        """
+        body = {"target": target}
+        if int8 is not None:
+            body["int8"] = bool(int8)
+        accepted = json.loads(self._request(
+            "/v1/reload", json.dumps(body).encode()))
+        if not wait:
+            return accepted
+        # 202 body is the pre-swap status: generation = completed swaps
+        gen0 = int(accepted.get("generation", 0))
+        deadline = time.monotonic() + (self.timeout_s if timeout_s is None
+                                       else float(timeout_s))
+        st = accepted
+        while time.monotonic() < deadline:
+            st = self.reload_status()
+            if st.get("state") == "error":
+                raise ServingError(0, f"reload of {target!r} failed "
+                                      f"server-side: {st.get('error')}")
+            if (st.get("state") == "serving"
+                    and int(st.get("generation", 0)) > gen0):
+                return st
+            time.sleep(poll_s)
+        raise RetryableError(
+            0, f"reload of {target!r} not confirmed within "
+               f"{timeout_s if timeout_s is not None else self.timeout_s}s "
+               f"(last status: {st})")
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         """POST ``x`` (one sample or a batch) -> stacked outputs.
 
@@ -229,13 +286,23 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Remote predict against a serving daemon")
     ap.add_argument("--url", required=True, help="e.g. http://host:8300")
-    ap.add_argument("--input", required=True, help=".npy array of inputs")
+    ap.add_argument("--input", help=".npy array of inputs")
     ap.add_argument("--out", default=None, help=".npy to write logits to")
     ap.add_argument("--timeout_s", type=float, default=300.0)
     ap.add_argument("--retries", type=int, default=2)
+    ap.add_argument("--reload", metavar="TARGET", default=None,
+                    help="hot-swap the daemon to this checkpoint/bundle "
+                         "path (on the daemon's host) and exit; requires "
+                         "a daemon started with --allow_reload")
     a = ap.parse_args(argv)
 
     c = ServingClient(a.url, timeout_s=a.timeout_s, retries=a.retries)
+    if a.reload is not None:
+        st = c.reload(a.reload)
+        print(f"reloaded to {a.reload} (generation {st['generation']})")
+        return
+    if a.input is None:
+        ap.error("--input is required unless --reload is given")
     x = np.load(a.input, allow_pickle=False)
     t0 = time.monotonic()
     out = c.predict(x)

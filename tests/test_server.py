@@ -1197,3 +1197,54 @@ def test_reload_in_flight_requests_served_by_one_weight_set():
     new = np.isclose(flat, 3.0, rtol=1e-4)
     assert np.all(old | new), "a request saw a mixed/garbled weight set"
     assert old.any() and new.any(), "swap window not actually exercised"
+
+
+def test_client_reload_helper(reload_loop, live_loop):
+    """ServingClient.reload drives the full hot-swap from the client
+    library: POST + poll-to-generation, server-side failure surfaced as
+    ServingError (old weights keep serving), 403 on a reload-disabled
+    daemon as BadRequestError, and the --reload CLI path."""
+    from protoasnet_tpu import client as client_mod
+    from protoasnet_tpu.client import (BadRequestError, ServingClient,
+                                       ServingError)
+
+    url, root, _, _ = reload_loop
+    c = ServingClient(url, timeout_s=60, retries=0)
+
+    st = c.reload_status()
+    assert st["state"] == "idle" and st["generation"] == 0
+
+    x = np.random.default_rng(0).normal(size=(2, 4, 4)).astype(np.float32)
+    np.testing.assert_allclose(c.predict(x), x.sum(axis=(1, 2)), rtol=1e-5)
+    st = c.reload(str(root / "w3.txt"), poll_s=0.05)
+    assert st["state"] == "serving" and st["generation"] == 1
+    np.testing.assert_allclose(c.predict(x), 3 * x.sum(axis=(1, 2)),
+                               rtol=1e-5)
+
+    # a build that fails server-side raises but leaves the daemon serving
+    (root / "corrupt.txt").write_text("not-a-float")
+    with pytest.raises(ServingError, match="failed server-side"):
+        c.reload(str(root / "corrupt.txt"), poll_s=0.05)
+    np.testing.assert_allclose(c.predict(x), 3 * x.sum(axis=(1, 2)),
+                               rtol=1e-5)
+    # bad target is a 400 -> BadRequestError before anything kicks off
+    with pytest.raises(BadRequestError):
+        c.reload(str(root / "nope.txt"))
+
+    # wait=False returns the 202 acceptance body immediately
+    acc = c.reload(str(root / "w1.txt"), wait=False)
+    assert acc["state"] == "loading"
+    assert _wait_reload(url, 2)["generation"] == 2
+
+    # CLI: --reload round trip (back to w3) without --input
+    client_mod.main(["--url", url, "--reload", str(root / "w3.txt")])
+    np.testing.assert_allclose(c.predict(x), 3 * x.sum(axis=(1, 2)),
+                               rtol=1e-5)
+
+    # reload-disabled daemon: 403 is non-retryable
+    c2 = ServingClient(live_loop, timeout_s=30, retries=0)
+    with pytest.raises(BadRequestError) as ei:
+        c2.reload_status()
+    assert ei.value.status == 403
+    with pytest.raises(BadRequestError):
+        c2.reload("/anything")
