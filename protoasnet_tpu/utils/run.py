@@ -49,9 +49,18 @@ def test_cache_dir(tag: str = "test") -> str:
     faster suite reruns) — cross-machine reuse is exactly what must not
     happen.
     """
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"protoasnet_jax_{tag}_cache_{os.getuid()}_{_machine_key()}")
+
+
+def _machine_key() -> str:
+    """Hostname + cpuinfo fingerprint — entries keyed by it cannot migrate
+    between pool machines (see :func:`test_cache_dir` rationale)."""
     import hashlib
     import socket
-    import tempfile
 
     try:
         with open("/proc/cpuinfo") as f:
@@ -59,10 +68,8 @@ def test_cache_dir(tag: str = "test") -> str:
                            if ln.startswith(("model name", "flags")))
     except OSError:
         info = "unknown"
-    key = hashlib.sha1(
+    return hashlib.sha1(
         (socket.gethostname() + "\x00" + info).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(),
-                        f"protoasnet_jax_{tag}_cache_{os.getuid()}_{key}")
 
 
 def enable_test_compilation_cache(tag: str = "test",
@@ -97,7 +104,9 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     equivalent (torch eager compiles nothing).
 
     Resolution order: explicit arg > ``PROTOASNET_COMPILE_CACHE_DIR`` env >
-    ``~/.cache/protoasnet_tpu/xla``. Set ``PROTOASNET_NO_COMPILE_CACHE=1``
+    ``~/.cache/protoasnet_tpu/xla/<platform>`` (the default is scoped per
+    JAX platform, and the CPU scope is additionally machine-keyed — see
+    the inline rationale). Set ``PROTOASNET_NO_COMPILE_CACHE=1``
     to opt out (returns None). Safe to call more than once; call before
     the first jit compile for full effect (later calls still help later
     compiles). Returns the cache dir in use.
@@ -116,10 +125,23 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "PROTOASNET_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "protoasnet_tpu", "xla"))
+        cache_dir = os.environ.get("PROTOASNET_COMPILE_CACHE_DIR")
+    if cache_dir is None:
+        # Default dir: scope by platform, and machine-key the CPU scope.
+        # ~/.cache migrates with $HOME across this rotating machine pool;
+        # TPU/GPU executables don't depend on host-CPU target features, so
+        # sharing them across hosts is safe AND is where the measured
+        # warm-start win lives (same chip behind the relay every day).
+        # XLA:CPU AOT entries are NOT keyed by host features (the
+        # MULTICHIP_r04 poisoning, test_cache_dir rationale): a CPU run on
+        # a rotated host pays a failed-validation load attempt per entry
+        # (cpu_aot_loader "could lead to ... SIGILL" noise, observed from
+        # the serving daemon on 2026-08-20) — so CPU entries get a
+        # per-machine subdir instead.
+        platform = jax.default_backend()
+        sub = f"cpu-{_machine_key()}" if platform == "cpu" else platform
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "protoasnet_tpu", "xla", sub)
     makedir(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Only skip truly trivial programs; the relay makes even small

@@ -72,10 +72,20 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         env_dir = str(tmp_path / "env_xla")
         monkeypatch.setenv("PROTOASNET_COMPILE_CACHE_DIR", env_dir)
         assert enable_compilation_cache() == env_dir
+        # default dir is platform-scoped, and the CPU scope is
+        # machine-keyed so entries can't migrate across the pool
+        # (cpu_aot_loader poisoning; utils/run.py rationale)
+        monkeypatch.delenv("PROTOASNET_COMPILE_CACHE_DIR", raising=False)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        from protoasnet_tpu.utils.run import _machine_key
+        got = enable_compilation_cache()
+        assert got == str(tmp_path / ".cache" / "protoasnet_tpu" / "xla"
+                          / f"cpu-{_machine_key()}")  # conftest pins cpu
+        assert os.path.isdir(got)
         # opt-out returns None and leaves config untouched
         monkeypatch.setenv("PROTOASNET_NO_COMPILE_CACHE", "1")
         assert enable_compilation_cache(cache_dir=str(tmp_path / "no")) is None
-        assert jax.config.jax_compilation_cache_dir == env_dir
+        assert jax.config.jax_compilation_cache_dir == got
     finally:
         jax.config.update("jax_compilation_cache_dir", prior)
 
