@@ -631,9 +631,9 @@ def _suite_benches(args, rng):
         tbundle = LossBundle(criterion, 4, True)
         ttx = make_adam(weight_decay_by_group={g: 1e-3 for g in GROUPS},
                         params=tparams)
-        tstep, _, _ = make_xprotonet_steps(tmodel, tbundle, ttx,
-                                           accumulation_steps=1,
-                                           stage="all", donate=False)
+        tstep, estep, _ = make_xprotonet_steps(tmodel, tbundle, ttx,
+                                               accumulation_steps=1,
+                                               stage="all", donate=False)
         tstate = TrainState.create(tparams, tstats, ttx)
         lrs = {g: jnp.float32(1e-4) for g in GROUPS}
         key = jax.random.PRNGKey(0)
@@ -657,6 +657,62 @@ def _suite_benches(args, rng):
         out["train_epoch_clips_per_sec"] = n_e / dt_e
         log(f"train epoch (loader+augment+step, end-to-end): {n_e} clips "
             f"in {dt_e:.1f}s -> {n_e / dt_e:.1f} clips/s")
+
+        # --- REAL eval epoch at the shipped defaults: eval_batch_size 128
+        # (2.02x vs evaluate-at-train-batch, experiments/eval_batch_ab.py)
+        # with ON-DEVICE metric accumulation (default on; one host readback
+        # per epoch, 1.43x vs per-batch sync — device_metrics_ab.py).
+        # Mirrors the agent eval loop (train/agents/xprotonet.py:136-205,
+        # incl. the epoch-end finalize + sklearn compute) minus the agent
+        # scaffolding, so the scorecard row is reproducible from --suite.
+        from protoasnet_tpu.train.device_metrics import DeviceEpochBuffer
+        from protoasnet_tpu.train.metrics import EpochMetrics
+
+        dval = dict(dtrain, augmentation=False, eval_batch_size=128)
+        vloader = get_as_dataloader(dval, "train", "val", seed=0)
+
+        def run_eval_epoch(batches, epoch):
+            ekey = jax.random.PRNGKey(epoch)
+            buf, n = None, 0
+            t0 = _time.time()
+            for bt in batches:
+                ekey, sub = jax.random.split(ekey)
+                m = estep(tstate.params, tstate.batch_stats, bt["cine"],
+                          bt["target_AS_dev"], bt["valid_dev"], sub)
+                if buf is None:
+                    buf = DeviceEpochBuffer(
+                        n_batches=len(vloader),
+                        batch_size=m["logits"].shape[0],
+                        num_logits=m["logits"].shape[1],
+                        num_prototypes=m["similarities"].shape[1],
+                        loss_names=sorted(k for k in m
+                                          if k.startswith("loss")))
+                buf.update(m, bt["target_AS_dev"], bt["valid_dev"])
+                n += int(bt["cine"].shape[0])
+            em = EpochMetrics(num_classes=4, abstain_class=True,
+                              num_prototypes=vcfg["prototype_shape"][0])
+            buf.finalize(em)
+            em.compute()
+            return n, _time.time() - t0
+
+        run_eval_epoch(vloader, 0)  # warm: eval + scatter compiles
+        vloader.set_epoch(1)
+        n_v, dt_v = run_eval_epoch(vloader, 1)
+        out["eval_epoch_clips_per_sec"] = n_v / dt_v
+        log(f"eval epoch (batch 128, on-device metrics, end-to-end): "
+            f"{n_v} clips in {dt_v:.1f}s -> {n_v / dt_v:.1f} clips/s")
+        # device-resident variant (H2D excluded), same convention as the
+        # push rows: on this relay-attached host the e2e number above is
+        # transport-bound; this is the compute rate a PCIe host would see
+        vloader.set_epoch(2)
+        staged_v = []
+        for bt in vloader:
+            jax.block_until_ready(bt["cine"])
+            staged_v.append(bt)
+        n_vc, dt_vc = run_eval_epoch(staged_v, 2)
+        out["eval_epoch_compute_clips_per_sec"] = n_vc / dt_vc
+        log(f"eval epoch (device-resident, H2D excluded): {n_vc} clips in "
+            f"{dt_vc:.1f}s -> {n_vc / dt_vc:.1f} clips/s")
 
         # --- Explain/push rendering (PIL panel composition + MP4 write),
         # the host-side cost of every prototype visualization
