@@ -110,6 +110,14 @@ def collect_convs(fn, *args, **kwargs):
                 lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
                 out = eqn.outvars[0].aval
                 dn = eqn.params["dimension_numbers"]
+                # same loud-failure policy as utils/flops.py::_conv_flops:
+                # batch-grouped convs contract over batch slices, which the
+                # output-shape formula below does not model — refuse rather
+                # than silently skew the roofline floors (feature groups
+                # need no factor: c_in from the rhs is already per-group)
+                assert eqn.params.get("batch_group_count", 1) == 1, (
+                    "batch-grouped conv found — collect_convs' FLOP "
+                    "formula does not model it")
                 k_spatial = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
                 c_in = rhs.shape[dn.rhs_spec[1]]
                 fl = 2.0 * math.prod(out.shape) * c_in * k_spatial

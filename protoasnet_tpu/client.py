@@ -226,6 +226,15 @@ class ServingClient:
         status; a build/compile failure raises ServingError with the
         daemon-side error (old weights keep serving — Reloader contract).
         With ``wait=False`` returns the 202 acceptance body immediately.
+
+        ``timeout_s`` (the wait deadline) defaults to
+        ``max(self.timeout_s, 1800)``, NOT the client's request timeout:
+        const-weight serving bakes the checkpoint into the HLO, so a
+        reload can never hit the persistent compile cache and serve_live
+        AOT-compiles every bucket in the ladder — measured minutes cold
+        (181.7 s PCIe, up to ~14 min through a slow relay; BASELINE.md).
+        A deadline shorter than the compile would report failure for a
+        swap that lands minutes later.
         """
         body = {"target": target}
         if int8 is not None:
@@ -236,8 +245,9 @@ class ServingClient:
             return accepted
         # 202 body is the pre-swap status: generation = completed swaps
         gen0 = int(accepted.get("generation", 0))
-        deadline = time.monotonic() + (self.timeout_s if timeout_s is None
-                                       else float(timeout_s))
+        wait_s = (max(self.timeout_s, 1800.0) if timeout_s is None
+                  else float(timeout_s))
+        deadline = time.monotonic() + wait_s
         st = accepted
         while time.monotonic() < deadline:
             st = self.reload_status()
@@ -249,8 +259,7 @@ class ServingClient:
                 return st
             time.sleep(poll_s)
         raise RetryableError(
-            0, f"reload of {target!r} not confirmed within "
-               f"{timeout_s if timeout_s is not None else self.timeout_s}s "
+            0, f"reload of {target!r} not confirmed within {wait_s}s "
                f"(last status: {st})")
 
     def predict(self, x: np.ndarray) -> np.ndarray:

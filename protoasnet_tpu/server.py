@@ -481,11 +481,17 @@ class Reloader:
       JITTED fn — no execution yet.
     - the reloader thread then AOT-compiles every bucket via
       ``jitted.lower(spec).compile()``. Lower/compile never dispatches a
-      device computation, so the batcher's single-dispatch-thread rule
-      (module docstring; CLAUDE.md loader rule) holds: the dispatch
-      thread stays the only thread *executing* on the device. (One
-      documented exception: an --int8 reload's calibration forwards run
-      on this thread and briefly contend with serving dispatch.)
+      device computation, so through the (long) compile phase the
+      batcher's single-dispatch-thread rule (module docstring; CLAUDE.md
+      loader rule) holds: the dispatch thread stays the only thread
+      *executing* on the device. The LOAD phase is the documented
+      exception: ``build`` runs checkpoint restore / model init (and,
+      for --int8 reloads, calibration forwards) on this thread, so
+      serving throughput dips from the dual-dispatch contention for
+      those seconds (worst on relay-attached hosts — CLAUDE.md measured
+      3-6x for sustained dual dispatch). Old weights still serve every
+      request throughout; the alternative (pausing serving for the load)
+      would be a real outage instead of a dip.
     - swap is one attribute store (``batcher.fn = new_fn``) — atomic
       under the GIL, and the dispatch thread reads ``self.fn`` once per
       flushed group, so every request is served entirely by one weight
@@ -525,7 +531,10 @@ class Reloader:
         import os
 
         real = os.path.realpath(target)
-        if real != self.root and not real.startswith(self.root + os.sep):
+        # rstrip so a reload root of "/" yields the prefix "/" (not "//",
+        # which would reject every target under it)
+        if real != self.root and not real.startswith(
+                self.root.rstrip(os.sep) + os.sep):
             return 400, {"error": f"target {target!r} resolves outside the "
                                   f"reload root {self.root!r}"}
         if not os.path.exists(real):
@@ -536,9 +545,15 @@ class Reloader:
             self._busy = True
             self._state = {"generation": self.generation, "state": "loading",
                            "target": target, "error": None}
+            # snapshot the pre-start state UNDER the lock: once the worker
+            # thread starts it may advance (or even complete) the state
+            # machine before this method returns, and the 202 body is
+            # contractually the PRE-swap status — ServingClient.reload()
+            # takes its generation watermark from it
+            accepted = dict(self._state, root=self.root)
         threading.Thread(target=self._work, args=(real, int8), daemon=True,
                          name="reloader").start()
-        return 202, self.status()
+        return 202, accepted
 
     def _work(self, target: str, int8) -> None:
         try:
