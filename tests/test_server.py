@@ -1199,6 +1199,42 @@ def test_reload_in_flight_requests_served_by_one_weight_set():
     assert old.any() and new.any(), "swap window not actually exercised"
 
 
+def test_reload_root_slash_accepts_targets_under_it(tmp_path):
+    """Regression: with --reload_root / the containment prefix used to be
+    root + sep == '//', which no absolute target starts with — every
+    reload was rejected 400 'outside the reload root'. A target UNDER /
+    must be accepted (the in-flight test above only covers target ==
+    root). Also pins the 202-body contract: it is the PRE-start snapshot
+    (state 'loading'), not a racy post-start status() read."""
+    import jax
+    import jax.numpy as jnp
+
+    from protoasnet_tpu.server import Reloader
+
+    b = DynamicBatcher(_identity_sum, max_batch=4, max_delay_ms=0.5,
+                       dtype=np.float32, sample_shape=(4, 4))
+
+    def build(target, int8):
+        return (jax.jit(lambda x: jnp.sum(x, axis=(1, 2))),
+                (4, 4), np.float32)
+
+    r = Reloader(b, build, root="/")
+    try:
+        w = tmp_path / "w.txt"
+        w.write_text("1.0")
+        code, body = r.request(str(w), None)
+        assert code == 202, body
+        assert body["state"] == "loading" and body["generation"] == 0
+        deadline = time.time() + 60
+        while (r.status()["state"] not in ("serving", "error")
+               and time.time() < deadline):
+            time.sleep(0.02)
+        st = r.status()
+        assert st["state"] == "serving" and st["generation"] == 1, st
+    finally:
+        b.close()
+
+
 def test_client_reload_helper(reload_loop, live_loop):
     """ServingClient.reload drives the full hot-swap from the client
     library: POST + poll-to-generation, server-side failure surfaced as
