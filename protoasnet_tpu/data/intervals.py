@@ -72,6 +72,13 @@ def compute_intervals(
     window = compute_window_sizes(frames, frame_time_ms, heart_rate, unit, quantity)
     num_intervals = (frames // window).astype(np.int32)
 
+    # Empty manifest (a split/view filter matching zero videos): return an
+    # empty table instead of letting np.repeat raise an opaque broadcast
+    # error from the length-1 offsets array below.
+    if len(frames) == 0:
+        z = np.zeros(0, np.int32)
+        return window, num_intervals, IntervalTable(z, z, z, z)
+
     # Videos shorter than one window produce a single [0, frames) interval.
     counts = np.maximum(num_intervals, 1)
     video_idx = np.repeat(np.arange(len(frames), dtype=np.int32), counts)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -36,7 +37,28 @@ from protoasnet_tpu.data.transforms import NORM_MEAN, NORM_STD
 from protoasnet_tpu.utils.io import load_pickle, save_pickle
 from protoasnet_tpu.utils.run import makedir
 
-__all__ = ["explain_local", "collect_model_products"]
+__all__ = ["explain_local", "collect_model_products", "latest_push_pickle"]
+
+
+def latest_push_pickle(img_root: str):
+    """Path of the newest epoch dir's prototypes_info.pickle, or None.
+
+    Push dirs are named ``epoch-{N}[_pushed]`` with UNPADDED N
+    (train/agents/xprotonet.py), so the sort key must be numeric — a
+    lexicographic sort would pick epoch-9 over epoch-10 and silently
+    render stale prototype evidence once training passes 9 epochs."""
+    if not os.path.isdir(img_root):
+        return None
+
+    def _epoch_key(name):
+        m = re.search(r"\d+", name)
+        return (int(m.group()) if m else -1, name)
+
+    for e in sorted(os.listdir(img_root), key=_epoch_key, reverse=True):
+        cand = os.path.join(img_root, e, "prototypes_info.pickle")
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def collect_model_products(agent, mode: str = "test") -> Dict[str, Any]:
@@ -180,15 +202,11 @@ def explain_local(agent, mode: str = "test", top_k: int = 3,
 
     # prototype evidence from the latest push
     img_root = os.path.join(save_dir, "img")
+    cand = latest_push_pickle(img_root)
     proto_info = None
-    if os.path.isdir(img_root):
-        epochs = sorted(os.listdir(img_root))
-        for e in reversed(epochs):
-            cand = os.path.join(img_root, e, "prototypes_info.pickle")
-            if os.path.exists(cand):
-                proto_info = load_pickle(cand)
-                logging.info(f"explain: using prototype evidence from {cand}")
-                break
+    if cand is not None:
+        proto_info = load_pickle(cand)
+        logging.info(f"explain: using prototype evidence from {cand}")
     if proto_info is None:
         logging.warning("explain: no prototypes_info.pickle found — run push "
                         "first; prototype panels will be omitted")

@@ -293,10 +293,7 @@ def compose_panel_clip(panels, title: str,
     """
     import cv2
 
-    def u8(x):  # same truncation as compose_panel_frame's (*255).astype
-        return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
-
-    all8 = [u8(p) for p in panels] + list(panels8 or [])
+    all8 = [u8_clip(p) for p in panels] + list(panels8 or [])
     t, h, w, _ = all8[0].shape
     n = len(all8)
     pad_w, cb_w = 6, 8
@@ -308,7 +305,7 @@ def compose_panel_clip(panels, title: str,
         x0 += w + pad_w
     if colorbar:
         grad = np.linspace(1.0, 0.0, h, dtype=np.float32)[:, None]
-        out[:, :, x0:x0 + cb_w] = u8(_viridis(np.repeat(grad, cb_w,
+        out[:, :, x0:x0 + cb_w] = u8_clip(_viridis(np.repeat(grad, cb_w,
                                                         axis=1)))
 
     # caption + per-panel labels: identical text every frame -> render ONE

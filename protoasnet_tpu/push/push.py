@@ -26,7 +26,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -39,7 +38,7 @@ from protoasnet_tpu.utils.run import makedir
 __all__ = ["push_prototypes", "batch_winners"]
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _batch_winners(dist, occ, roi, gt, valid, class_id, class_specific):
     """Per-prototype winner within one batch.
 

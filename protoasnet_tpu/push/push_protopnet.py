@@ -93,6 +93,7 @@ def push_prototypes_patch(
     best_map: Dict[int, np.ndarray] = {}
     best_gt = np.full(p, -1, np.int32)
 
+    batch_start = 0  # running dataset offset -> global sample indices
     for batch in dataloader:
         cine = batch["cine"]
         conv, dist = push_step(params, batch_stats, cine)
@@ -102,7 +103,12 @@ def push_prototypes_patch(
             dist, conv, gt, valid, proto_class_id
         )
         b_best = np.asarray(b_best)
-        improved = b_best <= best_dist
+        # strict < (reference push_ProtoPNet.py:210) and an isfinite guard:
+        # a prototype whose class has no valid sample in the batch comes
+        # back +inf from the all-masked argmin, and inf <= inf would
+        # "improve" it with a garbage index-0 winner (the hazard push.py's
+        # scan guards the same way)
+        improved = np.isfinite(b_best) & (b_best < best_dist)
         if improved.any():
             b_bi = np.asarray(b_bi)
             b_hi = np.asarray(b_hi)
@@ -114,10 +120,14 @@ def push_prototypes_patch(
                 a = int(b_bi[j])
                 best_dist[j] = b_best[j]
                 best_patch[j] = b_patch[j]
-                best_loc[j] = (a, int(b_hi[j]), int(b_wi[j]))
+                # global index over the push loader's iteration order, as
+                # the reference saves it (push_ProtoPNet.py:92,256) — a
+                # within-batch index would be unmappable to its source
+                best_loc[j] = (batch_start + a, int(b_hi[j]), int(b_wi[j]))
                 best_map[j] = b_maps[j]
                 best_img[j] = np.asarray(cine[a])  # (H, W, 3) normalized
                 best_gt[j] = gt_h[a]
+        batch_start += int(cine.shape[0])
 
     found = sorted(best_patch)
     logging.info(f"protopnet push: scan {time.time() - t0:.1f}s, "

@@ -28,6 +28,7 @@ the TPU port adds (serving export lives in serve.py).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -155,7 +156,7 @@ def calibrate_qstate_from_agent(agent, calib_batches: int = 4,
     scales = calibrate_act_scales(agent.model, variables, calib,
                                   **calib_kwargs)
     qstate = build_qstate(variables, scales)
-    print(f"calibrated {len(scales)} convs for w8a8")
+    logging.info(f"calibrated {len(scales)} convs for w8a8")
     return qstate
 
 

@@ -266,7 +266,14 @@ class ProtoPNetStagedAgent(_ProtoPNetCommon):
         self.state = TrainState.create(self._params0, self._bstats0, self.tx)
         self.opt_states = {s: self.tx.init(self._params0)
                            for s in ("warm", "joint", "last")}
-        self.accs = {s: self.state.acc for s in ("warm", "joint", "last")}
+        # each stage gets its OWN accumulator buffers: the train step
+        # donates its input state (steps.py donate=True), so sharing one
+        # GradAccumulator across stages would let the first stage's step
+        # delete the arrays the other stages' entries still reference —
+        # the next save_checkpoint (get_state serializes all three accs)
+        # then dies with "Array has been deleted"
+        self.accs = {s: jax.tree_util.tree_map(jnp.array, self.state.acc)
+                     for s in ("warm", "joint", "last")}
         self.scheduler = make_lr_scheduler(
             self.train_config.get("lr_schedule", {"name": "StepLR"}), 1.0)
         self._active_stage = "joint"

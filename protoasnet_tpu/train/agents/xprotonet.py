@@ -505,7 +505,11 @@ class XProtoNetStagedAgent(_XProtoNetAgentCommon):
         # separate Adam moments per stage (reference has 3 optimizers)
         self.opt_states = {s: self.tx.init(self._params0)
                            for s in ("warm", "joint", "last")}
-        self.accs = {s: self.state.acc for s in ("warm", "joint", "last")}
+        # per-stage COPIES: the donated train step would otherwise delete
+        # the shared accumulator arrays out from under the inactive
+        # stages' entries (see ProtoPNetStagedAgent.__init__ rationale)
+        self.accs = {s: jax.tree_util.tree_map(jnp.array, self.state.acc)
+                     for s in ("warm", "joint", "last")}
         sched_cfg = dict(self.train_config.get("lr_schedule",
                                                {"name": "ReduceLROnPlateau"}))
         self.min_abs_lr = float(sched_cfg.pop("min_lr", 0.0))

@@ -192,3 +192,48 @@ def test_xprotonet_staged_agent(synthetic_csv, tmp_path):
     assert agent2.current_epoch == agent.current_epoch
     accu, f1, auc = agent2.evaluate(mode="test")
     assert 0 <= f1 <= 1
+
+
+def test_staged_agent_checkpoint_with_accumulation(synthetic_csv, tmp_path):
+    """Regression: all three stages of the staged agents used to SHARE one
+    GradAccumulator pytree; with accumulation_steps > 1 (the shipped
+    baseline_protopnet.yml uses 5) the donated warm train step deleted the
+    shared arrays out from under the joint/last entries and the first
+    save_checkpoint crashed with 'Array has been deleted'. The other agent
+    tests all run accumulation_steps=1, where the accumulator is never
+    aliased into the step outputs — which is why they missed it."""
+    cfg = _image_base(synthetic_csv, tmp_path / "accum")
+    cfg.update({
+        "agent": "ProtoPNet_Base",
+        "abstain_class": False,
+        "model": {
+            "checkpoint_path": "",
+            "name": "ProtoPNet",
+            "base_architecture": "resnet18",
+            "prototype_shape": "(6, 64, 1, 1)",
+            "num_classes": 3,
+            "prototype_activation_function": "log",
+            "add_on_layers_type": "regular",
+        },
+    })
+    cfg["train"]["criterion"] = {
+        "CeLoss": {"loss_weight": 1, "reduction": "mean"},
+        "ClusterPatch": {"loss_weight": 0.8, "reduction": "mean"},
+        "Lnorm_FC": {"p": 1, "loss_weight": 1e-4},
+    }
+    cfg["train"]["optimizer"] = {
+        "name": "Adam",
+        "joint_lrs": {"features": 1e-4, "add_on_layers": 3e-3,
+                      "prototype_vectors": 3e-3},
+        "warm_lrs": {"add_on_layers": 3e-3, "prototype_vectors": 3e-3},
+        "last_layer_lr": 1e-4,
+    }
+    cfg["train"]["accumulation_steps"] = 2
+    cfg["train"]["num_warm_epochs"] = 1
+    cfg["train"]["num_train_epochs"] = 1
+    cfg["train"]["push_start"] = 1 << 30  # warm epoch + checkpoint only
+    agent = build_agent(cfg)
+    agent.train()  # ends with save_checkpoint — crashed before the fix
+    assert os.path.exists(os.path.join(agent.save_dir, "last.ckpt"))
+    # and the checkpoint must round-trip (deserializes all three accs)
+    agent.load_checkpoint_file(os.path.join(agent.save_dir, "last.ckpt"))

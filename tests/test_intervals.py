@@ -44,3 +44,11 @@ def test_zero_window_raises():
     with pytest.raises(ValueError):
         compute_window_sizes(np.array([10]), np.array([2000.0]), np.array([600.0]),
                              "cycle", 1.0)
+
+
+def test_empty_manifest_returns_empty_table():
+    """Regression: an empty split/view filter used to crash np.repeat with
+    an opaque broadcast error instead of yielding an empty table."""
+    e = np.zeros(0)
+    window, n_int, table = compute_intervals(e, e, e, "cycle", 1.0)
+    assert len(window) == 0 and len(n_int) == 0 and len(table) == 0

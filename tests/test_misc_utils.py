@@ -199,3 +199,23 @@ def test_ensure_config_dump_self_describing_run_dir(tmp_path):
     b.config = {"bad": object()}   # not YAML-safe
     b._ensure_config_dump()        # warns, must not raise
     assert not os.path.exists(os.path.join(b.save_dir, "config_agent.yml"))
+
+
+def test_latest_push_pickle_sorts_epochs_numerically(tmp_path):
+    """Regression: 'epoch-9_pushed' used to lexicographically beat
+    'epoch-10_pushed', so explain rendered stale prototype evidence once
+    training passed 9 epochs."""
+    import pickle
+
+    from protoasnet_tpu.explain.local import latest_push_pickle
+
+    assert latest_push_pickle(str(tmp_path / "missing")) is None
+    for name in ("epoch-2_pushed", "epoch-9_pushed", "epoch-10_pushed"):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "prototypes_info.pickle", "wb") as f:
+            pickle.dump({"from": name}, f)
+    # a non-push dir without the pickle must be skipped, not crash the scan
+    (tmp_path / "notes").mkdir()
+    got = latest_push_pickle(str(tmp_path))
+    assert got is not None and "epoch-10_pushed" in got

@@ -153,3 +153,97 @@ def test_update_carry_ignores_all_masked_batches():
     assert (out["batch_id"][2:] == -1).all()
     assert np.isinf(out["dist"][2:]).all()
     assert (out["gt"][2:] == -1).all()
+
+
+# --- push_prototypes_patch (classic ProtoPNet spatial push) regressions ---
+
+
+class _StubFeatures:
+    def conv_info(self):
+        return [3], [1], [1]  # one 3x3 s1 p1 conv
+
+
+class _StubModel:
+    prototype_shape = (2, 2, 1, 1)
+    features = _StubFeatures()
+
+
+def _patch_push(batches, class_identity, params):
+    """Drive push_prototypes_patch over synthetic (cine, conv, dist) batches.
+
+    Each batch dict carries its own conv (B,1,1,D) and dist (B,1,1,P); the
+    stub push_step just returns them, keyed off id(cine)."""
+    from protoasnet_tpu.push.push_protopnet import push_prototypes_patch
+
+    by_key = {float(b["cine"][0, 0, 0, 0]): b for b in batches}
+
+    def push_step(params, batch_stats, cine):
+        b = by_key[float(np.asarray(cine)[0, 0, 0, 0])]
+        return jnp.asarray(b["conv"]), jnp.asarray(b["dist"])
+
+    loader = [
+        {"cine": jnp.asarray(b["cine"]), "target_AS": b["target_AS"],
+         "valid": b["valid"]}
+        for b in batches
+    ]
+    return push_prototypes_patch(
+        loader, push_step, params, {}, _StubModel(),
+        class_identity=class_identity, render=False, img_size=8,
+        replace_prototypes=True,
+    )
+
+
+def _mk_batch(key, gts, dists, convs):
+    """One 2-sample batch: dist (B,1,1,P), conv (B,1,1,D)."""
+    b = len(gts)
+    cine = np.zeros((b, 1, 1, 3), np.float32)
+    cine[0, 0, 0, 0] = key  # marker the stub push_step dispatches on
+    return {
+        "cine": cine,
+        "conv": np.asarray(convs, np.float32).reshape(b, 1, 1, -1),
+        "dist": np.asarray(dists, np.float32).reshape(b, 1, 1, -1),
+        "target_AS": np.asarray(gts, np.int32),
+        "valid": np.ones(b, bool),
+    }
+
+
+def test_patch_push_skips_classes_with_no_samples():
+    """Regression: a prototype whose class never appears used to 'win' via
+    inf <= inf (all-masked argmin returns index 0), corrupting its vector
+    with a wrong-class patch. Reference uses strict < and skips empty
+    classes (push_ProtoPNet.py:202-210)."""
+    ident = np.eye(2, dtype=np.float32)  # proto 0 -> class 0, proto 1 -> class 1
+    params = {"prototype_vectors": jnp.asarray(
+        np.arange(4, dtype=np.float32).reshape(2, 1, 1, 2))}
+    # only class-0 samples anywhere in the dataset
+    batches = [_mk_batch(1.0, [0, 0], [[0.4, 0.2], [0.3, 0.1]],
+                         [[1, 1], [2, 2]])]
+    new_params, info = _patch_push(batches, ident, params)
+    assert np.isinf(info["prototypes_distances"][1])
+    assert info["prototypes_gts"][1] == -1
+    # unmatched prototype vector is untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_params["prototype_vectors"])[1],
+        np.asarray(params["prototype_vectors"])[1])
+    # matched prototype 0 took the batch's best class-0 patch (sample 1)
+    assert np.isclose(info["prototypes_distances"][0], 0.3)
+    np.testing.assert_allclose(
+        np.asarray(new_params["prototype_vectors"])[0, 0, 0], [2, 2])
+
+
+def test_patch_push_records_global_sample_index():
+    """Regression: bb.npy / bb-receptive_field.npy column 0 used to store
+    the within-batch index; the reference stores the index into the push
+    loader's full iteration order (push_ProtoPNet.py:92,256)."""
+    ident = np.eye(2, dtype=np.float32)
+    params = {"prototype_vectors": jnp.asarray(
+        np.zeros((2, 1, 1, 2), np.float32))}
+    # winner for BOTH prototypes lives in the SECOND batch, sample 1 of 2
+    batches = [
+        _mk_batch(1.0, [0, 1], [[0.9, 0.9], [0.9, 0.9]], [[1, 1], [2, 2]]),
+        _mk_batch(2.0, [1, 0], [[0.9, 0.2], [0.1, 0.9]], [[3, 3], [4, 4]]),
+    ]
+    _, info = _patch_push(batches, ident, params)
+    # global indices: proto 0 won batch-2 sample 1 -> 3; proto 1 sample 0 -> 2
+    assert info["bb"][0, 0] == 3 and info["bb"][1, 0] == 2
+    assert info["bb_rf"][0, 0] == 3 and info["bb_rf"][1, 0] == 2

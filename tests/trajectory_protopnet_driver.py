@@ -146,8 +146,9 @@ def _compare(params, tm, tag, atol=None):
 
 def _torch_patch_push(tm, batches, ident):
     """Reference push_ProtoPNet: eval-mode scan, own-class-masked global
-    argmin over (sample, h, w), cross-batch <= keeps the latest batch,
-    within-batch argmin keeps the first; prototype <- conv patch."""
+    argmin over (sample, h, w), cross-batch strict < keeps the EARLIEST
+    batch (push_ProtoPNet.py:210), within-batch argmin keeps the first;
+    prototype <- conv patch."""
     tm.eval()
     proto_class = ident.argmax(1)
     best = np.full(P, np.inf)
@@ -162,7 +163,7 @@ def _torch_patch_push(tm, batches, ident):
                 dj[np.asarray(y) != proto_class[j]] = np.inf
                 a = int(np.argmin(dj))
                 bi, hi, wi = np.unravel_index(a, dj.shape)
-                if np.isfinite(dj[bi, hi, wi]) and dj[bi, hi, wi] <= best[j]:
+                if np.isfinite(dj[bi, hi, wi]) and dj[bi, hi, wi] < best[j]:
                     best[j] = dj[bi, hi, wi]
                     best_patch[j] = f[bi, :, hi, wi].numpy()
         for j in range(P):
